@@ -1,0 +1,27 @@
+"""Test configuration: force an 8-virtual-device CPU backend.
+
+The reference (apple/ml-unigen) has no multi-device test harness at all (SURVEY.md §4);
+we use JAX's host-platform device-count override as the fake backend so every DP/FSDP/TP
+code path is exercised on CPU in CI, per-commit, without TPU hardware.
+"""
+import os
+
+# Must run before jax initializes its backends. Force CPU even if the ambient
+# environment points at a TPU backend — tests exercise the 8-virtual-device mesh.
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_default_matmul_precision", "float32")
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def eight_devices():
+    devs = jax.devices()
+    assert len(devs) == 8, f"expected 8 virtual devices, got {len(devs)}"
+    return devs

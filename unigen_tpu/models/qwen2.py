@@ -1,0 +1,336 @@
+"""Qwen2.5 causal-LM backbone, TPU-native.
+
+Functional re-implementation of the backbone the reference wraps via HuggingFace
+``Qwen2ForCausalLM`` (reference: models/unigen.py:16,56). Design choices that differ
+from a torch translation, deliberately:
+
+* **Stacked layer parameters + ``lax.scan``** over the depth dimension — one compiled
+  layer body instead of 28 unrolled ones (fast compiles, smaller HLO, scan-friendly
+  remat for training).
+* **Pure functions over pytrees** — ``init`` builds the parameter tree, ``forward``
+  is stateless; sharding is applied externally via ``jax.sharding`` PartitionSpecs
+  (see parallel/partition.py).
+* **KV cache as an explicit pytree** threaded through decode loops (the reference's
+  mmu decode re-forwards the whole sequence every step, unigen.py:536-558; here the
+  prefix-LM mask is honored at prefill and decode reads the cache).
+* fp32 RMSNorm/softmax islands inside a bf16 compute stream.
+
+Weight layout matches HF Qwen2: q/k/v projections carry biases, o_proj does not;
+SwiGLU MLP (gate/up/down); RoPE with configurable theta and optional linear scaling
+(reference exposes rope_theta / scaling_factor / rope_type at unigen.py:38-40,61-64).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.attention import dot_product_attention
+from ..ops.masks import AttnMeta
+
+Array = jax.Array
+PyTree = Any
+
+
+@dataclasses.dataclass(frozen=True)
+class Qwen2Config:
+    vocab_size: int = 151936
+    hidden_size: int = 1536
+    intermediate_size: int = 8960
+    num_hidden_layers: int = 28
+    num_attention_heads: int = 12
+    num_key_value_heads: int = 2
+    head_dim: int = 128
+    max_position_embeddings: int = 32768
+    rms_norm_eps: float = 1e-6
+    rope_theta: float = 1e6
+    rope_scaling_factor: float = 1.0
+    rope_type: str = "linear"
+    tie_word_embeddings: bool = True
+    dtype: Any = jnp.bfloat16
+
+    @classmethod
+    def tiny(cls, vocab_size: int = 512, **kw) -> "Qwen2Config":
+        """Small config for tests."""
+        defaults = dict(vocab_size=vocab_size, hidden_size=64, intermediate_size=128,
+                        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+                        head_dim=16, rope_theta=1e4, dtype=jnp.float32)
+        defaults.update(kw)
+        return cls(**defaults)
+
+
+class KVCache(NamedTuple):
+    """Per-layer-stacked KV cache: k/v are [num_layers, B, max_len, KVH, Dh]."""
+    k: Array
+    v: Array
+    index: Array  # scalar int32 — number of valid positions
+
+
+def init_kv_cache(cfg: Qwen2Config, batch_size: int, max_len: int,
+                  dtype: Optional[Any] = None) -> KVCache:
+    dtype = dtype or cfg.dtype
+    shape = (cfg.num_hidden_layers, batch_size, max_len,
+             cfg.num_key_value_heads, cfg.head_dim)
+    return KVCache(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype),
+                   jnp.zeros((), jnp.int32))
+
+
+# ---------------------------------------------------------------------------
+# Init
+# ---------------------------------------------------------------------------
+
+def _dense_init(key, in_dim, out_dim, dtype, with_bias):
+    scale = in_dim ** -0.5
+    w = jax.random.normal(key, (in_dim, out_dim), jnp.float32) * scale
+    p = {"kernel": w.astype(dtype)}
+    if with_bias:
+        p["bias"] = jnp.zeros((out_dim,), dtype)
+    return p
+
+
+def _layer_init(key, cfg: Qwen2Config):
+    d, h, kvh, dh, i = (cfg.hidden_size, cfg.num_attention_heads,
+                        cfg.num_key_value_heads, cfg.head_dim, cfg.intermediate_size)
+    ks = jax.random.split(key, 7)
+    return {
+        "input_ln": {"scale": jnp.ones((d,), cfg.dtype)},
+        "attn": {
+            "q": _dense_init(ks[0], d, h * dh, cfg.dtype, True),
+            "k": _dense_init(ks[1], d, kvh * dh, cfg.dtype, True),
+            "v": _dense_init(ks[2], d, kvh * dh, cfg.dtype, True),
+            "o": _dense_init(ks[3], h * dh, d, cfg.dtype, False),
+        },
+        "post_ln": {"scale": jnp.ones((d,), cfg.dtype)},
+        "mlp": {
+            "gate": _dense_init(ks[4], d, i, cfg.dtype, False),
+            "up": _dense_init(ks[5], d, i, cfg.dtype, False),
+            "down": _dense_init(ks[6], i, d, cfg.dtype, False),
+        },
+    }
+
+
+def init(key: Array, cfg: Qwen2Config) -> PyTree:
+    k_embed, k_layers, k_head = jax.random.split(key, 3)
+    layer_keys = jax.random.split(k_layers, cfg.num_hidden_layers)
+    layers = jax.vmap(lambda k: _layer_init(k, cfg))(layer_keys)
+    params = {
+        "embed": {"weight": (jax.random.normal(k_embed, (cfg.vocab_size, cfg.hidden_size),
+                                               jnp.float32) * 0.02).astype(cfg.dtype)},
+        "layers": layers,
+        "final_ln": {"scale": jnp.ones((cfg.hidden_size,), cfg.dtype)},
+    }
+    if not cfg.tie_word_embeddings:
+        params["lm_head"] = {"kernel": (jax.random.normal(
+            k_head, (cfg.hidden_size, cfg.vocab_size), jnp.float32) * 0.02).astype(cfg.dtype)}
+    return params
+
+
+# ---------------------------------------------------------------------------
+# Forward
+# ---------------------------------------------------------------------------
+
+def rms_norm(x: Array, scale: Array, eps: float) -> Array:
+    dtype = x.dtype
+    x = x.astype(jnp.float32)
+    x = x * jax.lax.rsqrt(jnp.mean(x * x, axis=-1, keepdims=True) + eps)
+    return (x * scale.astype(jnp.float32)).astype(dtype)
+
+
+def _dense(p, x):
+    y = x @ p["kernel"]
+    if "bias" in p:
+        y = y + p["bias"]
+    return y
+
+
+def rope(x: Array, positions: Array, theta: float, scaling_factor: float = 1.0) -> Array:
+    """Rotary embedding, NeoX rotate-half convention (matches HF Qwen2).
+
+    x: [B, L, H, Dh]; positions: [B, L] int.
+    """
+    dh = x.shape[-1]
+    inv_freq = 1.0 / (theta ** (jnp.arange(0, dh, 2, dtype=jnp.float32) / dh))
+    pos = positions.astype(jnp.float32)
+    if scaling_factor != 1.0:
+        pos = pos / scaling_factor
+    freqs = pos[..., None] * inv_freq  # [B, L, Dh/2]
+    cos = jnp.cos(freqs)[:, :, None, :]
+    sin = jnp.sin(freqs)[:, :, None, :]
+    x1, x2 = jnp.split(x.astype(jnp.float32), 2, axis=-1)
+    out = jnp.concatenate([x1 * cos - x2 * sin, x2 * cos + x1 * sin], axis=-1)
+    return out.astype(x.dtype)
+
+
+def _attention_block(p, cfg: Qwen2Config, x: Array, mask: Optional[Array],
+                     positions: Array, layer_cache: Optional[Tuple[Array, Array]],
+                     cache_index: Optional[Array]):
+    b, l, _ = x.shape
+    h, kvh, dh = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
+    q = _dense(p["q"], x).reshape(b, l, h, dh)
+    k = _dense(p["k"], x).reshape(b, l, kvh, dh)
+    v = _dense(p["v"], x).reshape(b, l, kvh, dh)
+    q = rope(q, positions, cfg.rope_theta, cfg.rope_scaling_factor)
+    k = rope(k, positions, cfg.rope_theta, cfg.rope_scaling_factor)
+
+    new_cache = None
+    if layer_cache is not None:
+        ck, cv = layer_cache
+        ck = jax.lax.dynamic_update_slice(ck, k.astype(ck.dtype), (0, cache_index, 0, 0))
+        cv = jax.lax.dynamic_update_slice(cv, v.astype(cv.dtype), (0, cache_index, 0, 0))
+        k, v = ck, cv
+        new_cache = (ck, cv)
+
+    out = dot_product_attention(q, k.astype(q.dtype), v.astype(q.dtype), mask=mask)
+    out = out.reshape(b, l, h * dh)
+    return _dense(p["o"], out), new_cache
+
+
+def _mlp_block(p, x: Array) -> Array:
+    return _dense(p["down"], jax.nn.silu(_dense(p["gate"], x)) * _dense(p["up"], x))
+
+
+def _layer(p, cfg: Qwen2Config, x, mask, positions, layer_cache, cache_index):
+    attn_out, new_cache = _attention_block(
+        p["attn"], cfg, rms_norm(x, p["input_ln"]["scale"], cfg.rms_norm_eps),
+        mask, positions, layer_cache, cache_index)
+    x = x + attn_out
+    x = x + _mlp_block(p["mlp"], rms_norm(x, p["post_ln"]["scale"], cfg.rms_norm_eps))
+    return x, new_cache
+
+
+def embed(params: PyTree, input_ids: Array) -> Array:
+    return jnp.take(params["embed"]["weight"], input_ids, axis=0)
+
+
+def forward(
+    params: PyTree,
+    cfg: Qwen2Config,
+    *,
+    input_ids: Optional[Array] = None,
+    inputs_embeds: Optional[Array] = None,
+    mask: Optional[Array] = None,        # [B,1,Lq,Lk] bool (True = visible)
+    meta: Optional[AttnMeta] = None,
+    positions: Optional[Array] = None,   # [B, Lq]
+    cache: Optional[KVCache] = None,
+    remat: bool = False,
+) -> Tuple[Array, Optional[KVCache]]:
+    """Backbone forward. Returns (hidden_states [B, L, D], updated cache or None).
+
+    Without a cache this is the training/prefill path; with a cache the incoming
+    chunk is written at ``cache.index`` and attention runs against the full cache.
+    """
+    if inputs_embeds is None:
+        inputs_embeds = embed(params, input_ids)
+    x = inputs_embeds.astype(cfg.dtype)
+    b, l, _ = x.shape
+
+    if positions is None:
+        start = cache.index if cache is not None else 0
+        positions = start + jnp.arange(l)[None, :]
+        positions = jnp.broadcast_to(positions, (b, l))
+
+    if mask is None and meta is not None:
+        mask = meta.visibility()
+    if mask is None and cache is None:
+        pos = jnp.arange(l)
+        mask = jnp.broadcast_to((pos[:, None] >= pos[None, :])[None, None], (b, 1, l, l))
+    if cache is not None and mask is None:
+        # Decode-step mask: attend to every cache slot < index + this chunk (causal
+        # within the chunk).
+        s = cache.k.shape[2]
+        kpos = jnp.arange(s)[None, None, None, :]
+        qpos = cache.index + jnp.arange(l)[None, None, :, None]
+        mask = jnp.broadcast_to(kpos <= qpos, (b, 1, l, s))
+
+    def body(carry, scanned):
+        xc = carry
+        layer_params, layer_kv = scanned
+        layer_cache = None if layer_kv is None else layer_kv
+        out, new_cache = _layer(layer_params, cfg, xc, mask, positions, layer_cache,
+                                cache.index if cache is not None else None)
+        return out, new_cache
+
+    if remat:
+        body = jax.checkpoint(body, prevent_cse=False)
+
+    if cache is not None:
+        x, new_kv = jax.lax.scan(body, x, (params["layers"], (cache.k, cache.v)))
+        new_cache = KVCache(new_kv[0], new_kv[1], cache.index + l)
+    else:
+        x, _ = jax.lax.scan(lambda c, p: body(c, (p, None)), x, params["layers"])
+        new_cache = None
+
+    x = rms_norm(x, params["final_ln"]["scale"], cfg.rms_norm_eps)
+    return x, new_cache
+
+
+def lm_head_weight(params: PyTree, cfg: Qwen2Config) -> Array:
+    """[D, V] output projection (tied to the embedding unless untied)."""
+    if cfg.tie_word_embeddings and "lm_head" not in params:
+        return params["embed"]["weight"].T
+    return params["lm_head"]["kernel"]
+
+
+def logits(params: PyTree, cfg: Qwen2Config, hidden: Array,
+           vocab_slice: Optional[Tuple[int, int]] = None) -> Array:
+    """Project hidden states to (a slice of) the vocabulary.
+
+    ``vocab_slice=(start, end)`` computes only those output columns — the t2i
+    sampler needs just the 8192-entry image vocabulary, so slicing the weight
+    *before* the matmul turns a 160k-wide head into an 8k-wide one
+    (reference slices logits *after* the full matmul, unigen.py:416).
+    """
+    w = lm_head_weight(params, cfg)
+    if vocab_slice is not None:
+        w = w[:, vocab_slice[0]:vocab_slice[1]]
+    return hidden @ w
+
+
+# ---------------------------------------------------------------------------
+# HF weight import
+# ---------------------------------------------------------------------------
+
+def convert_hf_state_dict(sd: dict, cfg: Qwen2Config, prefix: str = "model.") -> PyTree:
+    """Map a HuggingFace Qwen2ForCausalLM state dict (numpy arrays) to our pytree.
+
+    Accepts the key layout of ``Qwen2ForCausalLM.state_dict()``; used for weight
+    parity against the reference checkpoints (BASELINE.md config #2).
+    """
+    import numpy as np
+
+    def get(name):
+        return np.asarray(sd[name])
+
+    def stack(fmt, transpose=False):
+        ws = [get(fmt.format(i)) for i in range(cfg.num_hidden_layers)]
+        out = np.stack([w.T if transpose else w for w in ws])
+        return jnp.asarray(out, cfg.dtype)
+
+    params = {
+        "embed": {"weight": jnp.asarray(get(prefix + "embed_tokens.weight"), cfg.dtype)},
+        "layers": {
+            "input_ln": {"scale": stack(prefix + "layers.{}.input_layernorm.weight")},
+            "attn": {
+                "q": {"kernel": stack(prefix + "layers.{}.self_attn.q_proj.weight", True),
+                      "bias": stack(prefix + "layers.{}.self_attn.q_proj.bias")},
+                "k": {"kernel": stack(prefix + "layers.{}.self_attn.k_proj.weight", True),
+                      "bias": stack(prefix + "layers.{}.self_attn.k_proj.bias")},
+                "v": {"kernel": stack(prefix + "layers.{}.self_attn.v_proj.weight", True),
+                      "bias": stack(prefix + "layers.{}.self_attn.v_proj.bias")},
+                "o": {"kernel": stack(prefix + "layers.{}.self_attn.o_proj.weight", True)},
+            },
+            "post_ln": {"scale": stack(prefix + "layers.{}.post_attention_layernorm.weight")},
+            "mlp": {
+                "gate": {"kernel": stack(prefix + "layers.{}.mlp.gate_proj.weight", True)},
+                "up": {"kernel": stack(prefix + "layers.{}.mlp.up_proj.weight", True)},
+                "down": {"kernel": stack(prefix + "layers.{}.mlp.down_proj.weight", True)},
+            },
+        },
+        "final_ln": {"scale": jnp.asarray(get(prefix + "norm.weight"), cfg.dtype)},
+    }
+    if "lm_head.weight" in sd and not cfg.tie_word_embeddings:
+        import numpy as np
+        params["lm_head"] = {"kernel": jnp.asarray(np.asarray(sd["lm_head.weight"]).T, cfg.dtype)}
+    return params
