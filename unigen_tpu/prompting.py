@@ -1,0 +1,349 @@
+"""Task-sequence assembly for the unified multimodal token space.
+
+Host-side counterpart of the reference prompt engine
+(reference: training/prompting_utils.py:13-424, UniversalPromptingQwen2). Prompt
+assembly is string/ragged work, so it stays in Python/NumPy — but it always emits
+fixed-shape padded buffers so the jitted model functions never retrace.
+
+Token layouts (identical to the reference):
+  t2i      [pad...][<|t2i|>|<|im_start|>user\\n][text][<|im_end|>\\n<|im_start|>assistant\\n]
+           [<|soi|>][N image tokens][<|eoi|>]                    (left-pad, :59-111)
+  lm       [<|im_start|>][text][<|im_end|>][pad...]              (right-pad, :155-188)
+  mmu      [task][<|im_start|>][<|soi|>][img][<|eoi|>][text][<|im_end|>][pad...] (:190-247)
+  mmu_conv [sys?][task/im_start/soi][img][<|eoi|>][text...]      (:249-312)
+  mmu_emb  prefix=[task][im_start]user\\n[soi], suffix=[img pads][eoi][text..] (:314-366)
+
+Randomness (t2i conditioning dropout) uses an explicit ``numpy.random.Generator``
+instead of global torch RNG state.
+"""
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+IGNORE_ID = -100
+
+DEFAULT_SPECIAL_TOKENS = (
+    "<|soi|>", "<|eoi|>", "<|sov|>", "<|eov|>", "<|t2i|>",
+    "<|mmu|>", "<|t2v|>", "<|think_start|>", "<|think_end|>",
+)
+
+
+class UniPrompting:
+    """Unified prompting over a HuggingFace-style text tokenizer.
+
+    The tokenizer must provide ``__call__``, ``add_tokens``, ``convert_tokens_to_ids``,
+    ``pad_token_id``, ``eos_token_id`` and ``__len__`` (any HF fast tokenizer does).
+    """
+
+    def __init__(self, text_tokenizer,
+                 special_tokens: Sequence[str] = DEFAULT_SPECIAL_TOKENS,
+                 ignore_id: int = IGNORE_ID, max_seq_len: Optional[int] = None,
+                 cond_dropout_prob: float = 0.1, enable_reuse_tk: bool = False,
+                 task_token_first: bool = False,
+                 rng: Optional[np.random.Generator] = None):
+        self.text_tokenizer = text_tokenizer
+        self.pad_id = int(text_tokenizer.pad_token_id)
+        self.enable_reuse_tk = enable_reuse_tk
+        self.task_token_first = task_token_first
+        self.ignore_id = ignore_id
+        self.max_seq_len = max_seq_len
+        self.cond_dropout_prob = cond_dropout_prob
+        self.rng = rng or np.random.default_rng(0)
+
+        special_tokens = list(special_tokens)
+        self.sptids_dict: Dict[str, int] = {}
+        if enable_reuse_tk:
+            # Reuse Qwen2's native vision markers instead of growing the vocab
+            # (reference: prompting_utils.py:27-44).
+            for tok, alias in (("<|soi|>", "<|vision_start|>"), ("<|eoi|>", "<|vision_end|>"),
+                               ("<|sov|>", "<|vision_start|>"), ("<|eov|>", "<|vision_end|>")):
+                if tok in special_tokens:
+                    special_tokens.remove(tok)
+                    self.sptids_dict[tok] = int(text_tokenizer.convert_tokens_to_ids([alias])[0])
+        text_tokenizer.add_tokens(special_tokens)
+        for tok in special_tokens:
+            self.sptids_dict[tok] = int(text_tokenizer.convert_tokens_to_ids([tok])[0])
+
+        self.sptids_dict["<|pad|>"] = self.pad_id
+        for tok in ("<|im_start|>", "<|im_end|>"):
+            self.sptids_dict[tok] = int(text_tokenizer.convert_tokens_to_ids([tok])[0])
+        self.bos_token_id = self.sptids_dict["<|im_start|>"]
+        self.eos_token_id = int(text_tokenizer.eos_token_id)
+
+    # -- helpers ------------------------------------------------------------
+
+    def _tokenize(self, texts, truncation: bool = False) -> List[List[int]]:
+        kw = {"truncation": True} if truncation else {}
+        out = self.text_tokenizer(texts, **kw)["input_ids"]
+        if texts and isinstance(texts, str):
+            return [out]
+        return [list(ids) for ids in out]
+
+    def _conv_start_ids(self, task_token: str) -> List[int]:
+        if self.task_token_first:
+            return list(self._tokenize(f"{task_token}<|im_start|>user\n")[0])
+        return list(self._tokenize(f"<|im_start|>{task_token}user\n")[0])
+
+    def _conv_end_ids(self) -> List[int]:
+        return list(self._tokenize("<|im_end|>\n<|im_start|>assistant\n")[0])
+
+    # -- t2i (training) -----------------------------------------------------
+
+    def t2i_prompt(self, texts: Sequence[str], image_ids: np.ndarray,
+                   labels: np.ndarray) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Left-padded t2i training sequences (reference :59-111).
+
+        Returns (input_ids, attention_mask, label_ids), each [B, max_seq_len].
+        """
+        text_ids = self._tokenize(list(texts))
+        n_img = image_ids.shape[1]
+        soi, eoi = self.sptids_dict["<|soi|>"], self.sptids_dict["<|eoi|>"]
+        conv_start = self._conv_start_ids("<|t2i|>")
+        conv_end = self._conv_end_ids()
+        drop = self.rng.random(len(text_ids)) < self.cond_dropout_prob
+
+        seqs, masks, labs = [], [], []
+        for i in range(len(text_ids)):
+            ids = [] if drop[i] else text_ids[i]
+            body = conv_start + ids + conv_end
+            if self.max_seq_len >= len(body) + n_img + 2:
+                pad_n = self.max_seq_len - len(body) - n_img - 2
+                mask = [0] * pad_n + [1] * (len(body) + n_img + 2)
+                body = [self.pad_id] * pad_n + body
+            else:
+                mask = [1] * self.max_seq_len
+                body = body[: self.max_seq_len - n_img - 2]
+            lab = ([self.ignore_id] * len(body) + [soi] + list(labels[i]) + [eoi])
+            seq = body + [soi] + list(image_ids[i]) + [eoi]
+            lab = [self.ignore_id if t == self.pad_id else t for t in lab]
+            seqs.append(seq)
+            masks.append(mask)
+            labs.append(lab)
+        return (np.asarray(seqs, np.int64), np.asarray(masks, np.int64),
+                np.asarray(labs, np.int64))
+
+    # -- t2i (generation) ---------------------------------------------------
+
+    def t2i_gen_prompt(self, texts: Sequence[str], image_ids: np.ndarray,
+                       max_len: Optional[int] = None) -> Tuple[np.ndarray, np.ndarray]:
+        """Left-padded generation prompts, no labels/dropout (reference :113-153)."""
+        text_ids = self._tokenize(list(texts))
+        n_img = image_ids.shape[1]
+        soi, eoi = self.sptids_dict["<|soi|>"], self.sptids_dict["<|eoi|>"]
+        conv_start = self._conv_start_ids("<|t2i|>")
+        conv_end = self._conv_end_ids()
+        if max_len is None:
+            max_len = max(len(t) for t in text_ids) + len(conv_start) + len(conv_end) + 2 + n_img
+        else:
+            max_len = max_len + len(conv_start) + len(conv_end) + 2 + n_img
+        max_len = min(max_len, self.max_seq_len)
+
+        seqs, masks = [], []
+        for i in range(len(text_ids)):
+            body = conv_start + text_ids[i] + conv_end
+            if max_len >= len(body) + n_img + 2:
+                pad_n = max_len - len(body) - n_img - 2
+                mask = [0] * pad_n + [1] * (len(body) + n_img + 2)
+                body = [self.pad_id] * pad_n + body
+            else:
+                mask = [1] * max_len
+                body = body[: max_len - n_img - 2 - len(conv_end)] + conv_end
+            seqs.append(body + [soi] + list(image_ids[i]) + [eoi])
+            masks.append(mask)
+        return np.asarray(seqs, np.int64), np.asarray(masks, np.int64)
+
+    # -- lm -------------------------------------------------------------------
+
+    def lm_prompt(self, texts: Sequence[str], max_seq_len: int
+                  ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Right-padded language-modeling sequences (reference :155-188)."""
+        text_ids = self._tokenize(list(texts), truncation=True)
+        seqs, masks, labs = [], [], []
+        for ids in text_ids:
+            body = [self.sptids_dict["<|im_start|>"]] + ids + [self.sptids_dict["<|im_end|>"]]
+            if max_seq_len >= len(body):
+                lab = body + [self.ignore_id] * (max_seq_len - len(body))
+                mask = [1] * len(body) + [0] * (max_seq_len - len(body))
+                body = body + [self.pad_id] * (max_seq_len - len(body))
+            else:
+                body = body[:max_seq_len]
+                lab = list(body)
+                mask = [1] * max_seq_len
+            seqs.append(body)
+            masks.append(mask)
+            labs.append(lab)
+        return (np.asarray(seqs, np.int64), np.asarray(masks, np.int64),
+                np.asarray(labs, np.int64))
+
+    # -- mmu (discrete captioning) -------------------------------------------
+
+    def mmu_prompt(self, image_ids: np.ndarray, texts: Sequence[str]
+                   ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Right-padded mmu sequences over discrete VQ tokens (reference :190-247)."""
+        text_ids = self._tokenize(list(texts))
+        n_img = image_ids.shape[1]
+        soi, eoi = self.sptids_dict["<|soi|>"], self.sptids_dict["<|eoi|>"]
+        task, im_start = self.sptids_dict["<|mmu|>"], self.sptids_dict["<|im_start|>"]
+        head = [task, im_start, soi] if self.task_token_first else [im_start, task, soi]
+
+        seqs, masks, labs = [], [], []
+        for i, ids in enumerate(text_ids):
+            if self.max_seq_len >= len(ids) + n_img + 5:
+                mask = ([1] * (len(ids) + n_img + 5)
+                        + [0] * (self.max_seq_len - len(ids) - n_img - 5))
+                body = ids + [self.sptids_dict["<|im_end|>"]] + \
+                    [self.pad_id] * (self.max_seq_len - len(ids) - n_img - 5)
+            else:
+                mask = [1] * self.max_seq_len
+                body = ids[: self.max_seq_len - n_img - 5] + [self.sptids_dict["<|im_end|>"]]
+            lab = ([self.ignore_id] * 3 + [self.ignore_id] * n_img + [self.ignore_id]
+                   + list(body))
+            lab = [self.ignore_id if t == self.pad_id else t for t in lab]
+            seqs.append(head + list(image_ids[i]) + [eoi] + body)
+            masks.append(mask)
+            labs.append(lab)
+        return (np.asarray(seqs, np.int64), np.asarray(masks, np.int64),
+                np.asarray(labs, np.int64))
+
+    # -- mmu_conv (chat conversations; discrete tokens or embeddings) ---------
+
+    def _eos_scan(self, part2: np.ndarray, extra_len: int, total_len: int
+                  ) -> Tuple[np.ndarray, np.ndarray]:
+        """Per-row valid length from the last <|im_end|> (reference :293-306).
+
+        Rows without an eos fall back to part2's length alone — reproducing the
+        reference exactly (prompting_utils.py:304 uses input_ids_part2.shape[1]).
+        """
+        b, l2 = part2.shape
+        attn = np.zeros((b, total_len), dtype=bool)
+        pos = np.zeros((b, total_len), dtype=np.int64)
+        for i in range(b):
+            hits = np.flatnonzero(part2[i] == self.eos_token_id)
+            if len(hits):
+                cur_len = l2 - (l2 - 1 - hits[-1]) + extra_len
+            else:
+                cur_len = l2
+            cur_len = min(cur_len, total_len)
+            attn[i, :cur_len] = True
+            pos[i, :cur_len] = np.arange(cur_len)
+        return attn, pos
+
+    def mmu_conv(self, images: np.ndarray, input_ids: np.ndarray,
+                 label_ids: Optional[np.ndarray],
+                 input_ids_system: Optional[np.ndarray]):
+        """Conversation-style mmu assembly (reference :249-312).
+
+        ``images`` is either [B, N] discrete image token ids (returns full
+        input_ids) or [B, N, D] continuous embeddings (returns part1/part2 ids for
+        the caller to splice embeddings between).
+        """
+        discrete = images.ndim == 2
+        img_seq_len = images.shape[1]
+        b = input_ids.shape[0]
+        if label_ids is None:
+            label_ids = input_ids.copy()
+        task, im_start, soi = (self.sptids_dict["<|mmu|>"], self.sptids_dict["<|im_start|>"],
+                               self.sptids_dict["<|soi|>"])
+        head = [task, im_start, soi] if self.task_token_first else [im_start, task, soi]
+        part1 = np.tile(np.asarray(head, np.int64), (b, 1))
+        part2 = np.concatenate(
+            [np.full((b, 1), self.sptids_dict["<|eoi|>"], np.int64), input_ids[:, 1:]], axis=1)
+
+        ign = self.ignore_id
+        if input_ids_system is not None:
+            part1 = np.concatenate([input_ids_system, part1], axis=1)
+            labels = np.concatenate([
+                np.full_like(input_ids_system, ign),
+                np.full((b, 3), ign, np.int64),
+                np.full((b, img_seq_len), ign, np.int64),
+                np.full((b, 1), ign, np.int64),
+                label_ids[:, 1:],
+            ], axis=1)
+        else:
+            labels = np.concatenate([
+                np.full((b, 3), ign, np.int64),
+                np.full((b, img_seq_len), ign, np.int64),
+                np.full((b, 1), ign, np.int64),
+                label_ids[:, 1:],
+            ], axis=1)
+
+        attn, _pos = self._eos_scan(part2, part1.shape[1] + img_seq_len, self.max_seq_len)
+        if discrete:
+            full = np.concatenate([part1, images.astype(np.int64), part2], axis=1)
+            return full, attn, labels
+        return part1, part2, attn, labels
+
+    # -- mmu_embed (prefix/suffix for continuous image embeddings) ------------
+
+    def mmu_embed(self, image_shapes, texts: Sequence[str]):
+        """Prefix/suffix assembly for the continuous-embedding path (reference :314-366).
+
+        ``image_shapes``: [B, N, ...] embeddings (uniform length) or [B, 2]
+        spatial_shapes for NaFlex variable-length images.
+        """
+        image_shapes = np.asarray(image_shapes)
+        if image_shapes.ndim == 3:
+            img_seq_len = [image_shapes.shape[1]] * image_shapes.shape[0]
+        else:
+            img_seq_len = (image_shapes[:, 0] * image_shapes[:, 1]).tolist()
+        text_ids = self._tokenize(list(texts))
+
+        if self.task_token_first:
+            conv_start = list(self._tokenize("<|mmu|><|im_start|>user\n<|soi|>")[0])
+        else:
+            conv_start = list(self._tokenize("<|im_start|><|mmu|>user\n<|soi|>")[0])
+        conv_end = self._conv_end_ids()
+
+        prefix, suffix, masks, labs = [], [], [], []
+        for i, ids in enumerate(text_ids):
+            body = [self.sptids_dict["<|eoi|>"]] + ids
+            eos_pos = body.index(self.sptids_dict["<|im_end|>"]) + len(conv_end)
+            if self.max_seq_len >= len(body) + img_seq_len[i] + len(conv_start) + 1:
+                n_valid = len(body) + img_seq_len[i] + len(conv_start) + 1
+                mask = [1] * n_valid + [0] * (self.max_seq_len - n_valid)
+                body = body + [self.sptids_dict["<|im_end|>"]] + \
+                    [self.pad_id] * (self.max_seq_len - len(body) - img_seq_len[i]
+                                     - len(conv_start) - 1)
+            else:
+                mask = [1] * self.max_seq_len
+                body = body[: self.max_seq_len - img_seq_len[i] - len(conv_start)]
+            lab = ([self.ignore_id] * len(conv_start) + [self.ignore_id] * img_seq_len[i]
+                   + [self.ignore_id] * eos_pos + body[eos_pos:])
+            lab = [self.ignore_id if t == self.pad_id else t for t in lab]
+            suffix.append([self.pad_id] * img_seq_len[i] + body)
+            prefix.append(conv_start)
+            masks.append(mask)
+            labs.append(lab)
+        return (np.asarray(prefix, np.int64), np.asarray(suffix, np.int64),
+                np.asarray(masks, np.int64), np.asarray(labs, np.int64))
+
+    # -- lm_conv ---------------------------------------------------------------
+
+    def lm_conv(self, input_ids: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+        """Attention/position ids from the last eos per row (reference :367-387)."""
+        return self._eos_scan(input_ids, 0, self.max_seq_len)
+
+    # -- dispatch ----------------------------------------------------------------
+
+    def __call__(self, inputs, task: str):
+        """Task dispatch mirroring the reference __call__ (reference :388-424)."""
+        if task == "t2i":
+            return self.t2i_prompt(inputs[0], np.asarray(inputs[1]), np.asarray(inputs[2]))
+        if task == "t2i_gen":
+            max_len = None if len(inputs) == 2 else inputs[2]
+            return self.t2i_gen_prompt(inputs[0], np.asarray(inputs[1]), max_len)
+        if task == "lm":
+            return self.lm_prompt(inputs[0], inputs[1])
+        if task == "lm_conv":
+            return self.lm_conv(np.asarray(inputs))
+        if task == "mmu":
+            return self.mmu_prompt(np.asarray(inputs[0]), inputs[1])
+        if task == "mmu_conv":
+            return self.mmu_conv(np.asarray(inputs[0]), np.asarray(inputs[1]),
+                                 None if inputs[2] is None else np.asarray(inputs[2]),
+                                 None if inputs[3] is None else np.asarray(inputs[3]))
+        if task == "mmu_emb":
+            return self.mmu_embed(inputs[0], inputs[1])
+        raise NotImplementedError(task)
