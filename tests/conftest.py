@@ -15,6 +15,9 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+# The axon sitecustomize overrides JAX_PLATFORMS after env is read; force CPU here,
+# before any backend is initialized.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "float32")
 
 import pytest  # noqa: E402

@@ -1,0 +1,158 @@
+"""End-to-end pipeline tests: prompts -> images -> self-VQA (CoT-V), tiny models."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from unigen_tpu.models import magvit as MV
+from unigen_tpu.models import siglip as SG
+from unigen_tpu.models import unigen as U
+from unigen_tpu.pipeline import UniGenPipeline, pixels_to_uint8
+from unigen_tpu.prompting import UniPrompting
+from unigen_tpu.evaluation import cot as COT
+from unigen_tpu.evaluation.geneval import run_geneval, load_metadata_jsonl
+from unigen_tpu.evaluation.dpg import run_dpg, make_grid_2x2
+
+from test_prompting import MockTokenizer, SPECIALS
+
+
+class DecodableMockTokenizer(MockTokenizer):
+    def decode(self, ids, **kw):
+        rev = {v: k for k, v in self.specials.items()}
+        return "".join(rev.get(i, chr(i)) if i >= 32 else "?" for i in ids)
+
+
+@pytest.fixture(scope="module")
+def pipe():
+    tok = DecodableMockTokenizer()
+    prompting = UniPrompting(tok, special_tokens=SPECIALS, max_seq_len=64,
+                             cond_dropout_prob=0.0)
+    text_vocab_len = len(tok)
+    cfg = U.UniGenConfig.tiny(text_vocab_len=text_vocab_len, w_und_encoder=True,
+                              mm_input_dim=32)
+    # tiny magvit: 8px -> 4x4 = 16 tokens = cfg.num_vq_tokens
+    vq_cfg = MV.MagvitConfig.tiny(resolution=8, z_channels=5)
+    vs_cfg = SG.SiglipConfig.tiny(image_size=28, patch_size=14, hidden_size=32)
+    params = U.init(jax.random.key(0), cfg)
+    vq_params = MV.init(jax.random.key(1), vq_cfg)
+    vs_params = SG.init(jax.random.key(2), vs_cfg)
+    return UniGenPipeline(params, cfg, vq_params, vq_cfg, prompting,
+                          vision_params=vs_params, vision_cfg=vs_cfg)
+
+
+def test_generate_images_end_to_end(pipe):
+    pixels = pipe.generate_images(["a red cat", "a dog"], jax.random.key(0),
+                                  guidance_scale=2.0, timesteps=3, max_text_len=8)
+    assert pixels.shape == (2, 8, 8, 3)
+    assert np.isfinite(np.asarray(pixels)).all()
+    imgs = pixels_to_uint8(pixels)
+    assert imgs.dtype == np.uint8 and imgs.shape == (2, 8, 8, 3)
+
+
+def test_generate_images_no_cfg_and_ar(pipe):
+    p1 = pipe.generate_images(["x"], jax.random.key(1), guidance_scale=0.0,
+                              timesteps=2, max_text_len=4)
+    assert p1.shape == (1, 8, 8, 3)
+    p2 = pipe.generate_images(["x"], jax.random.key(1), guidance_scale=2.0,
+                              timesteps=2, max_text_len=4, mode="ar")
+    assert p2.shape == (1, 8, 8, 3)
+
+
+def test_understand_discrete_end_to_end(pipe):
+    px = jax.random.uniform(jax.random.key(3), (2, 8, 8, 3), minval=-1, maxval=1)
+    toks = pipe.understand_discrete(px, ["is there a cat?", "what color?"],
+                                    jax.random.key(4), max_new_tokens=4)
+    assert toks.shape == (2, 4)
+    texts = pipe.decode_text(toks)
+    assert len(texts) == 2
+
+
+def test_understand_vision_tower_end_to_end(pipe):
+    px = jax.random.uniform(jax.random.key(5), (2, 28, 28, 3), minval=-1, maxval=1)
+    toks = pipe.understand(px, ["is there a cat?", "is it red?"], jax.random.key(6),
+                           max_new_tokens=4)
+    assert toks.shape == (2, 4)
+
+
+def test_run_geneval_writes_layout(pipe, tmp_path):
+    md = [{"prompt": "a red cat"}, {"prompt": "two dogs"}]
+    out = str(tmp_path / "geneval")
+    written = run_geneval(pipe, md, out, jax.random.key(0), n_samples=2,
+                          guidance_scale=2.0, timesteps=2, eval_text_len=6,
+                          process_index=0, process_count=1)
+    assert len(written) == 2
+    import os
+    assert os.path.exists(os.path.join(out, "00000", "samples", "00000.png"))
+    assert os.path.exists(os.path.join(out, "00000", "metadata.jsonl"))
+    got = load_metadata_jsonl(os.path.join(out, "00000", "metadata.jsonl"))
+    assert got[0]["prompt"] == "a red cat"
+    # process sharding splits work
+    w0 = run_geneval(pipe, md, str(tmp_path / "g2"), jax.random.key(0), n_samples=1,
+                     guidance_scale=0.0, timesteps=1, eval_text_len=6,
+                     process_index=0, process_count=2)
+    assert len(w0) == 1
+
+
+def test_run_dpg_grid(pipe, tmp_path):
+    out = str(tmp_path / "dpg")
+    written = run_dpg(pipe, [{"item_id": "p1", "text": "a cat"}], out,
+                      jax.random.key(0), n_samples=4, guidance_scale=2.0,
+                      timesteps=2, eval_text_len=6, process_index=0, process_count=1)
+    from PIL import Image
+    img = Image.open(written[0])
+    assert img.size == (16, 16)  # 2x2 grid of 8px images
+
+
+def test_make_grid():
+    imgs = np.arange(4 * 2 * 2 * 3, dtype=np.uint8).reshape(4, 2, 2, 3)
+    grid = make_grid_2x2(imgs)
+    assert grid.shape == (4, 4, 3)
+    np.testing.assert_array_equal(grid[:2, :2], imgs[0])
+    np.testing.assert_array_equal(grid[2:, 2:], imgs[3])
+
+
+def test_cot_parsers():
+    assert COT.parse_yesno(" Yes, it is") == "yes"
+    assert COT.parse_yesno("No.") == "no"
+    assert COT.parse_yesno("maybe") == "no"
+    qa = COT.parse_qa_pairs("<think_start>Is there a cat? yes; Is it red? no<think_end>")
+    assert qa == [("Is there a cat?", "yes"), ("Is it red?", "no")]
+    assert COT.parse_qa_pairs("garbage") == [("", "no")]
+
+
+def test_geneval_prompt2questions_families():
+    q = COT.geneval_prompt2questions("a photo of a purple tennis racket and a black sink")
+    assert q == ["Is there a racket?", "Is there a sink?",
+                 "Is the tennis racket purple?", "Is the sink black?"]
+    q = COT.geneval_prompt2questions("a photo of a cat above a table")
+    assert q[-1] == "Is the cat above the table?"
+    q = COT.geneval_prompt2questions("a photo of four dogs")
+    assert q == ["Are there dogs?", "Are there four dogs?"]
+    q = COT.geneval_prompt2questions("a photo of a cup")
+    assert q == ["Is there a cup?"]
+    q = COT.geneval_prompt2questions("a photo of a hair drier and a cake")
+    assert q == ["Is there a drier?", "Is there a cake?"]
+    q = COT.geneval_prompt2questions("a photo of a blue rubbish bin")
+    assert q == ["Is there a bin?", "Is the rubbish bin blue?"]
+
+
+def test_greedy_samples_byscore():
+    table = [
+        {"image_id": "a/samples/0.png", "question": "q1", "answer": "yes"},
+        {"image_id": "a/samples/0.png", "question": "q2", "answer": "no"},
+        {"image_id": "a/samples/1.png", "question": "q1", "answer": "yes"},
+        {"image_id": "a/samples/1.png", "question": "q2", "answer": "yes"},
+        {"image_id": "b/samples/0.png", "question": "q1", "answer": "no"},
+    ]
+    sel, stats = COT.greedy_samples_byscore(table, topk=1)
+    assert "a/samples/1.png" in sel and "b/samples/0.png" in sel
+    assert len(sel) == 2
+
+
+def test_run_cot_best_of_n(pipe):
+    res = COT.run_cot(pipe, ["a photo of a cup"], jax.random.key(0), n_samples=3,
+                      topk=2, guidance_scale=2.0, timesteps=2, eval_text_len=8,
+                      style="rule", max_new_tokens=3)
+    assert len(res) == 1
+    assert res[0]["selected"].shape == (2, 8, 8, 3)
+    assert len(res[0]["ratings"]) == 3  # 1 question x 3 candidates

@@ -1,0 +1,236 @@
+"""High-level inference pipeline: prompts -> images, images -> answers.
+
+Wires prompting + backbone + samplers + MAGViT decode into the user-facing calls
+the reference exposes through its evaluation scripts
+(reference: evaluation/inference_geneval.py:148-292, inference_unigen_cot.py:278-428,
+third_party/lmms/models/unigen.py:259-430).
+
+All device work goes through module-level jitted functions whose static arguments
+are the frozen configs and protocol constants — one compile per (shape, protocol),
+reused across every batch of an evaluation run. Host work is only string/tokenizer
+assembly. CoT-V keeps candidates on-device end-to-end: generate -> decode ->
+re-encode for rating without a PNG round trip (SURVEY.md §7 hard part 5).
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .generation import mmu_generate, t2i_generate, t2i_generate_ar
+from .models import magvit, siglip, unigen
+from .ops import masks as M
+from .ops import sampling as S
+from .prompting import UniPrompting
+
+Array = jax.Array
+
+
+@partial(jax.jit, static_argnames=("cfg", "pad_id", "soi_id", "eoi_id",
+                                   "guidance_scale", "timesteps", "temperature",
+                                   "mask_schedule", "mode"))
+def _generate_codes(params, cfg, ids, uncond_ids, key, *, pad_id, soi_id, eoi_id,
+                    guidance_scale, timesteps, temperature, mask_schedule, mode):
+    both = jnp.concatenate([ids, uncond_ids], axis=0)
+    attn = M.create_attention_mask_predict_next(
+        both, pad_id=pad_id, soi_id=soi_id, eoi_id=eoi_id, rm_pad_in_image=True)
+    if mode == "ar":
+        att1d = (both != pad_id).astype(jnp.int32)
+        return t2i_generate_ar(params, cfg, key, ids, uncond_ids, att1d,
+                               guidance_scale=guidance_scale, temperature=temperature)
+    if guidance_scale <= 1:
+        attn = attn[: ids.shape[0]]
+    return t2i_generate(params, cfg, key, ids, attn, uncond_input_ids=uncond_ids,
+                        temperature=temperature, timesteps=timesteps,
+                        guidance_scale=guidance_scale,
+                        noise_schedule=S.get_mask_schedule(mask_schedule))
+
+
+@partial(jax.jit, static_argnames=("cfg", "vq_cfg"))
+def _decode_codes(vq_params, cfg, vq_cfg, codes):
+    codes = jnp.clip(codes, 0, cfg.codebook_size - 1)
+    return magvit.decode_code(vq_params, vq_cfg, codes)
+
+
+@partial(jax.jit, static_argnames=("vq_cfg",))
+def _encode_pixels(vq_params, vq_cfg, pixels):
+    return magvit.get_code(vq_params, vq_cfg, pixels)
+
+
+@partial(jax.jit, static_argnames=("cfg", "eoi_id", "eos_id", "max_new_tokens",
+                                   "temperature", "top_k"))
+def _mmu_decode(params, cfg, ids, prompt_len, key, *, eoi_id, eos_id,
+                max_new_tokens, temperature, top_k):
+    attn = M.create_attention_mask_for_mmu(ids, eoi_id=eoi_id)
+    keep = jnp.arange(ids.shape[1])[None] < prompt_len[:, None]
+    attn = attn & keep[:, None, None, :] & keep[:, None, :, None]
+    return mmu_generate(params, cfg, key, input_ids=ids, attention_mask=attn,
+                        prompt_len=prompt_len, max_new_tokens=max_new_tokens,
+                        temperature=temperature, top_k=top_k, eot_token=eos_id)
+
+
+@partial(jax.jit, static_argnames=("cfg", "sys_len", "eos_id", "max_new_tokens",
+                                   "temperature", "top_k"))
+def _mmu_vit_decode(params, cfg, part1, part2, img_embeds, prompt_len, key, *,
+                    sys_len, eos_id, max_new_tokens, temperature, top_k):
+    e1 = unigen.embed_tokens(params, part1)
+    e2 = unigen.embed_tokens(params, part2)
+    embeds = jnp.concatenate([e1, img_embeds.astype(e1.dtype), e2], axis=1)
+    b, l, _ = embeds.shape
+    attn = M.create_attention_mask_for_mmu_vit(
+        b, l, system_prompt_len=sys_len, num_tokens=img_embeds.shape[1],
+        prefix_length=part1.shape[1])
+    keep = jnp.arange(l)[None] < prompt_len[:, None]
+    attn = attn & keep[:, None, None, :] & keep[:, None, :, None]
+    return mmu_generate(params, cfg, key, input_embeddings=embeds,
+                        attention_mask=attn, prompt_len=prompt_len,
+                        max_new_tokens=max_new_tokens, temperature=temperature,
+                        top_k=top_k, eot_token=eos_id)
+
+
+@partial(jax.jit, static_argnames=("vision_cfg",))
+def _vision_forward(vision_params, vision_cfg, pixels):
+    return siglip.forward(vision_params, vision_cfg, pixels)
+
+
+@partial(jax.jit, static_argnames=())
+def _mm_project(params, feats):
+    return unigen.mm_project(params, feats)
+
+
+@dataclasses.dataclass
+class UniGenPipeline:
+    params: Any
+    cfg: unigen.UniGenConfig
+    vq_params: Any
+    vq_cfg: magvit.MagvitConfig
+    prompting: UniPrompting
+    vision_params: Optional[Any] = None
+    vision_cfg: Optional[siglip.SiglipConfig] = None
+
+    # ------------------------------------------------------------------ t2i --
+
+    def generate_images(
+        self,
+        prompts: Sequence[str],
+        key: Array,
+        *,
+        guidance_scale: float = 6.0,
+        timesteps: int = 50,
+        temperature: float = 1.0,
+        max_text_len: int = 128,
+        mask_schedule: str = "cosine",
+        mode: str = "mask",
+        return_codes: bool = False,
+    ):
+        """prompts -> pixels in [-1, 1], [B, H, W, 3] (GenEval protocol defaults:
+        guidance 6, 50 steps — reference scripts/run_evaluation.sh:122-131)."""
+        n = self.cfg.num_vq_tokens
+        sp = self.prompting.sptids_dict
+        mask_img = np.full((len(prompts), n), self.cfg.mask_token_id, np.int64)
+        ids, _ = self.prompting((list(prompts), mask_img, max_text_len), "t2i_gen")
+        uncond_ids, _ = self.prompting(([""] * len(prompts), mask_img, max_text_len),
+                                       "t2i_gen")
+        codes = _generate_codes(
+            self.params, self.cfg, jnp.asarray(ids), jnp.asarray(uncond_ids), key,
+            pad_id=self.prompting.pad_id, soi_id=sp["<|soi|>"], eoi_id=sp["<|eoi|>"],
+            guidance_scale=guidance_scale, timesteps=timesteps,
+            temperature=temperature, mask_schedule=mask_schedule, mode=mode)
+        if return_codes:
+            return codes
+        return self.decode_codes(codes)
+
+    def decode_codes(self, codes: Array) -> Array:
+        """Codebook ids -> pixels in [-1, 1] (reference clamps before decoding,
+        inference_geneval.py:266)."""
+        return _decode_codes(self.vq_params, self.cfg, self.vq_cfg, codes)
+
+    def encode_pixels(self, pixels: Array) -> Array:
+        return _encode_pixels(self.vq_params, self.vq_cfg, pixels)
+
+    # ------------------------------------------------------------------ mmu --
+
+    def understand_discrete(
+        self,
+        pixels: Array,
+        questions: Sequence[str],
+        key: Array,
+        *,
+        max_new_tokens: int = 128,
+        temperature: float = 0.0,
+        top_k: Optional[int] = None,
+    ) -> Array:
+        """VQA over discrete VQ tokens (reference 'mmu' task path, train.py:681-700).
+
+        Returns [B, max_new_tokens] generated token ids.
+        """
+        codes = np.asarray(self.encode_pixels(pixels)) + self.cfg.text_vocab_len
+        ids, att, _ = self.prompting((codes, list(questions)), "mmu")
+        prompt_len = att.sum(axis=1)
+        return _mmu_decode(self.params, self.cfg, jnp.asarray(ids),
+                           jnp.asarray(prompt_len), key,
+                           eoi_id=self.prompting.sptids_dict["<|eoi|>"],
+                           eos_id=self.prompting.eos_token_id,
+                           max_new_tokens=max_new_tokens, temperature=temperature,
+                           top_k=top_k)
+
+    def understand(
+        self,
+        pixels: Array,
+        questions: Sequence[str],
+        key: Array,
+        *,
+        system_prompt_ids: Optional[np.ndarray] = None,
+        max_new_tokens: int = 128,
+        temperature: float = 0.0,
+        top_k: Optional[int] = None,
+    ) -> Array:
+        """VQA through the continuous SigLIP path (reference: lmms adapter
+        generate_until, third_party/lmms/models/unigen.py:259-430).
+
+        ``pixels``: [B, 384, 384, 3] normalized with mean=std=0.5.
+        """
+        assert self.vision_params is not None, "pipeline built without a vision tower"
+        feats = _vision_forward(self.vision_params, self.vision_cfg, pixels)
+        img_embeds = _mm_project(self.params, feats)
+        b, p, _ = img_embeds.shape
+
+        q_ids = [self.prompting._tokenize(
+            f"{q}<|im_end|>\n<|im_start|>assistant\n")[0] for q in questions]
+        maxq = max(len(q) for q in q_ids)
+        q_arr = np.full((b, maxq), self.prompting.pad_id, np.int64)
+        for i, q in enumerate(q_ids):
+            q_arr[i, :len(q)] = q
+        part1, part2, _, _ = self.prompting((np.zeros((b, p, 1)), q_arr, None,
+                                             system_prompt_ids), "mmu_conv")
+        q_lens = np.asarray([len(q) for q in q_ids])
+        prompt_len = part1.shape[1] + p + 1 + (q_lens - 1)  # part1 + img + eoi + text
+        return _mmu_vit_decode(
+            self.params, self.cfg, jnp.asarray(part1), jnp.asarray(part2), img_embeds,
+            jnp.asarray(prompt_len), key,
+            sys_len=0 if system_prompt_ids is None else system_prompt_ids.shape[1],
+            eos_id=self.prompting.eos_token_id, max_new_tokens=max_new_tokens,
+            temperature=temperature, top_k=top_k)
+
+    # ------------------------------------------------------------- decoding --
+
+    def decode_text(self, token_ids: Array) -> List[str]:
+        """Token ids -> strings, trimmed at eos."""
+        out = []
+        ids = np.asarray(token_ids)
+        for row in ids:
+            stop = np.flatnonzero(row == self.prompting.eos_token_id)
+            row = row[: stop[0]] if len(stop) else row
+            out.append(self.prompting.text_tokenizer.decode(list(row)))
+        return out
+
+
+def pixels_to_uint8(pixels: Array) -> np.ndarray:
+    """[-1,1] floats -> uint8 HWC images (reference save path,
+    inference_geneval.py:268-276)."""
+    x = np.asarray(jnp.clip((pixels + 1.0) / 2.0, 0.0, 1.0))
+    return (x * 255.0).round().astype(np.uint8)
