@@ -1,0 +1,101 @@
+"""Headline benchmark: 256px images/sec/chip at the GenEval protocol.
+
+Runs the flagship UniGen (Qwen2.5-1.5B backbone, bf16) MaskGIT sampler at the
+reference evaluation protocol — guidance 6, 50 timesteps, 128-token text budget,
+256px via the MAGViTv2 decoder (reference scripts/run_evaluation.sh:122-131) — on
+the real TPU chip and prints ONE JSON line:
+
+  {"metric": ..., "value": N, "unit": "images/sec/chip", "vs_baseline": N/16}
+
+vs_baseline is against the BASELINE.json north star of 16 img/s/chip.
+Random weights (identical FLOPs/memory traffic to trained ones).
+"""
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main(batch_size: int = 8, timesteps: int = 50, warmup: int = 1, iters: int = 3):
+    import jax
+    import jax.numpy as jnp
+
+    from unigen_tpu.generation import t2i_generate
+    from unigen_tpu.models import magvit, unigen
+    from unigen_tpu.ops import masks as M
+
+    cfg = unigen.UniGenConfig.for_qwen25_15b()
+    vq_cfg = magvit.MagvitConfig()
+
+    t0 = time.perf_counter()
+    # jit the initializers: one compiled program instead of thousands of host
+    # dispatches (matters on a 1-core host driving the chip)
+    params = jax.jit(lambda k: unigen.init(k, cfg))(jax.random.key(0))
+    jax.block_until_ready(params)
+    print(f"[bench] llm params init: {time.perf_counter() - t0:.1f}s", file=sys.stderr)
+    t0 = time.perf_counter()
+    vq_params = jax.jit(lambda k: magvit.init(k, vq_cfg))(jax.random.key(1))
+    jax.block_until_ready(vq_params)
+    print(f"[bench] vq params init: {time.perf_counter() - t0:.1f}s", file=sys.stderr)
+    vq_params = jax.tree_util.tree_map(lambda x: x.astype(jnp.bfloat16), vq_params)
+    vq_cfg = magvit.MagvitConfig(dtype=jnp.bfloat16)
+
+    # GenEval-protocol prompt: 128-token text budget + template + soi/img/eoi
+    n = cfg.num_vq_tokens
+    text_len = 128 + 7
+    pad, soi, eoi = 151643, 151665, 151666
+    rng = np.random.default_rng(0)
+
+    def prompt_batch(b):
+        ids = np.concatenate([
+            np.full((b, 20), pad),                      # realistic left padding
+            rng.integers(10, 1000, size=(b, text_len - 20)),
+            np.full((b, 1), soi),
+            np.full((b, n), cfg.mask_token_id),
+            np.full((b, 1), eoi),
+        ], axis=1)
+        return jnp.asarray(ids)
+
+    ids = prompt_batch(batch_size)
+    uncond = prompt_batch(batch_size)
+
+    def generate(params, vq_params, ids, uncond, key):
+        both = jnp.concatenate([ids, uncond], axis=0)
+        attn = M.create_attention_mask_predict_next(both, pad, soi, eoi,
+                                                    rm_pad_in_image=True)
+        codes = t2i_generate(params, cfg, key, ids, attn, uncond_input_ids=uncond,
+                             guidance_scale=6.0, timesteps=timesteps, temperature=1.0)
+        codes = jnp.clip(codes, 0, cfg.codebook_size - 1)
+        return magvit.decode_code(vq_params, vq_cfg, codes)
+
+    gen = jax.jit(generate)
+
+    t0 = time.perf_counter()
+    for _ in range(warmup):
+        gen(params, vq_params, ids, uncond, jax.random.key(2)).block_until_ready()
+    print(f"[bench] compile+warmup: {time.perf_counter() - t0:.1f}s", file=sys.stderr)
+
+    times = []
+    for i in range(iters):
+        t0 = time.perf_counter()
+        out = gen(params, vq_params, ids, uncond, jax.random.key(3 + i))
+        out.block_until_ready()
+        times.append(time.perf_counter() - t0)
+
+    best = min(times)
+    n_chips = jax.device_count()
+    img_per_sec_per_chip = batch_size / best / n_chips
+    print(json.dumps({
+        "metric": "256px images/sec/chip (GenEval protocol: guidance 6, 50 steps)",
+        "value": round(img_per_sec_per_chip, 4),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(img_per_sec_per_chip / 16.0, 4),
+    }))
+
+
+if __name__ == "__main__":
+    bs = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    main(batch_size=bs)

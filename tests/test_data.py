@@ -1,0 +1,199 @@
+"""Data-layer tests with synthetic tar/parquet/json fixtures."""
+import io
+import json
+import os
+import tarfile
+
+import numpy as np
+import pytest
+
+from unigen_tpu.data.combined import combined_loader
+from unigen_tpu.data.imagenet import ImageNetDataset, load_synset_mapping
+from unigen_tpu.data.lm_data import ParquetTextDataset
+from unigen_tpu.data.llava import (IGNORE_INDEX, LlavaDataset, collate_batch,
+                                   preprocess_qwen)
+from unigen_tpu.data.text2image import (Text2ImageDataset, brace_expand,
+                                        iterate_tar_samples)
+from unigen_tpu.data.transform import image_transform, pad_image, siglip_preprocess
+
+from test_prompting import MockTokenizer
+
+
+def _png_bytes(size=32, color=(255, 0, 0)):
+    from PIL import Image
+    buf = io.BytesIO()
+    Image.new("RGB", (size, size), color).save(buf, format="PNG")
+    return buf.getvalue()
+
+
+def _make_tar(path, n=6, with_bad=True):
+    with tarfile.open(path, "w") as tf:
+        for i in range(n):
+            key = f"{i:05d}"
+            img = _png_bytes(color=(i * 20 % 255, 10, 10))
+            info = tarfile.TarInfo(f"{key}.png")
+            info.size = len(img)
+            tf.addfile(info, io.BytesIO(img))
+            meta = json.dumps({"prompt": f"The image shows a cat number {i}",
+                               "short_caption": f"cat {i}"}).encode()
+            info = tarfile.TarInfo(f"{key}.json")
+            info.size = len(meta)
+            tf.addfile(info, io.BytesIO(meta))
+        if with_bad:
+            bad = b"not an image"
+            info = tarfile.TarInfo("zzbad.png")
+            info.size = len(bad)
+            tf.addfile(info, io.BytesIO(bad))
+            cap = b"caption for bad"
+            info = tarfile.TarInfo("zzbad.txt")
+            info.size = len(cap)
+            tf.addfile(info, io.BytesIO(cap))
+
+
+def test_brace_expand():
+    assert brace_expand("s-{000..002}.tar") == ["s-000.tar", "s-001.tar", "s-002.tar"]
+    assert brace_expand("plain.tar") == ["plain.tar"]
+
+
+def test_tar_iteration_and_batching(tmp_path):
+    shard = str(tmp_path / "train-000.tar")
+    _make_tar(shard)
+    samples = list(iterate_tar_samples(shard))
+    assert len(samples) == 7  # 6 good + 1 bad grouped
+    ds = Text2ImageDataset([str(tmp_path / "train-{000..000}.tar")],
+                           per_device_batch_size=4, resolution=16, num_batches=3,
+                           short_caption_ratio=0.0)
+    batches = list(ds)
+    assert len(batches) == 3
+    assert batches[0]["images"].shape == (4, 16, 16, 3)
+    assert all(isinstance(t, str) for t in batches[0]["input_ids"])
+    # prefix "The image shows " stripped, first letter uppercased
+    assert any(t.startswith("A cat number") for t in batches[0]["input_ids"])
+
+
+def test_caption_prompt_and_person(tmp_path):
+    shard = str(tmp_path / "t.tar")
+    with tarfile.open(shard, "w") as tf:
+        img = _png_bytes()
+        info = tarfile.TarInfo("x.png")
+        info.size = len(img)
+        tf.addfile(info, io.BytesIO(img))
+        cap = b"<person> riding a bike"
+        info = tarfile.TarInfo("x.txt")
+        info.size = len(cap)
+        tf.addfile(info, io.BytesIO(cap))
+    ds = Text2ImageDataset([shard], per_device_batch_size=1, resolution=16,
+                           num_batches=1, add_caption_prompt=True)
+    batch = next(iter(ds))
+    text = batch["input_ids"][0]
+    assert "<person>" not in text and "person riding a bike" in text
+    assert "\n" in text  # caption prompt prepended
+
+
+def test_parquet_lm_stream(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    table = pa.table({"content": [f"document {i} " + "x" * 50 for i in range(10)]})
+    path = str(tmp_path / "data.parquet")
+    pq.write_table(table, path)
+    ds = ParquetTextDataset([path], per_device_batch_size=4, max_length_chars=20)
+    batch = next(iter(ds))
+    assert len(batch["input_ids"]) == 4
+    assert all(len(t) <= 20 for t in batch["input_ids"])
+    # distributed sharding: two processes see disjoint rows
+    d0 = ParquetTextDataset([path], 4, process_index=0, process_count=2)
+    d1 = ParquetTextDataset([path], 4, process_index=1, process_count=2)
+    r0 = next(iter(d0))["input_ids"]
+    r1 = next(iter(d1))["input_ids"]
+    assert set(t[:10] for t in r0).isdisjoint(set(t[:10] for t in r1))
+
+
+def test_preprocess_qwen_label_masking():
+    tok = MockTokenizer()
+    convs = [[{"from": "human", "value": "what is this? <image>"},
+              {"from": "gpt", "value": "a cat"}]]
+    out = preprocess_qwen(convs, tok)
+    ids, labs = out["input_ids"][0], out["labels"][0]
+    assert len(ids) == len(labs)
+    # user turn fully masked, assistant turn fully labeled
+    n_user = len(tok("<|im_start|>user\nwhat is this?<|im_end|>\n")["input_ids"])
+    assert all(l == IGNORE_INDEX for l in labs[:n_user])
+    assert all(l != IGNORE_INDEX for l in labs[n_user:])
+    assert labs[n_user:] == ids[n_user:]
+    # skips a leading assistant turn
+    convs2 = [[{"from": "gpt", "value": "hi"},
+               {"from": "human", "value": "q"}, {"from": "gpt", "value": "a"}]]
+    out2 = preprocess_qwen(convs2, tok)
+    assert len(out2["input_ids"][0]) < len(
+        preprocess_qwen([convs2[0]], tok)["input_ids"][0]) + 100
+
+
+def test_llava_dataset_end_to_end(tmp_path):
+    from PIL import Image
+    os.makedirs(tmp_path / "imgs", exist_ok=True)
+    Image.new("RGB", (40, 40), (0, 200, 0)).save(tmp_path / "imgs" / "a.png")
+    data = [{"image": "a.png",
+             "conversations": [{"from": "human", "value": "<image>\nwhat?"},
+                               {"from": "gpt", "value": "green"}]},
+            {"image": "missing.png",
+             "conversations": [{"from": "human", "value": "q"},
+                               {"from": "gpt", "value": "a"}]}]
+    jpath = str(tmp_path / "d.json")
+    with open(jpath, "w") as f:
+        json.dump(data, f)
+    ds = LlavaDataset([jpath], str(tmp_path / "imgs"), MockTokenizer(),
+                      per_device_batch_size=2, max_length=64, resolution=16,
+                      with_system=True)
+    batch = next(iter(ds))
+    assert batch["input_ids"].shape == (2, 64)
+    assert batch["labels"].shape == (2, 64)
+    assert batch["images"].shape == (2, 16, 16, 3)
+    assert batch["input_ids_system"].shape[0] == 2
+
+
+def test_imagenet_dataset(tmp_path):
+    from PIL import Image
+    for wnid, color in [("n01", (255, 0, 0)), ("n02", (0, 255, 0))]:
+        os.makedirs(tmp_path / "train" / wnid, exist_ok=True)
+        for i in range(2):
+            Image.new("RGB", (20, 20), color).save(tmp_path / "train" / wnid / f"{wnid}_{i}.jpg")
+    mpath = str(tmp_path / "mapping.txt")
+    with open(mpath, "w") as f:
+        f.write("n01: tench, fish\nn02: goldfish\n")
+    ds = ImageNetDataset(str(tmp_path / "train"), load_synset_mapping(mpath),
+                         per_device_batch_size=2, image_size=16,
+                         prefix_prompt="a photo of ")
+    batch = next(iter(ds))
+    assert batch["images"].shape == (2, 16, 16, 3)
+    assert all(t.startswith("a photo of ") for t in batch["input_ids"])
+    assert any(t.split("a photo of ")[1] in ("tench", "fish", "goldfish")
+               for t in batch["input_ids"])
+
+
+def test_combined_loader():
+    a = [{"x": 1}, {"x": 2}]
+
+    def infinite():
+        i = 0
+        while True:
+            yield {"y": i}
+            i += 1
+
+    out = list(__import__("itertools").islice(
+        combined_loader({"t2i": infinite(), "lm": a}), 5))
+    assert len(out) == 5
+    assert out[0]["lm"]["x"] == 1 and out[2]["lm"]["x"] == 1  # cycled
+    assert out[4]["t2i"]["y"] == 4
+
+
+def test_transforms():
+    from PIL import Image
+    img = Image.new("RGB", (100, 60), (128, 128, 128))
+    x = image_transform(img, 32)
+    assert x.shape == (32, 32, 3)
+    assert abs(float(x.mean())) < 0.02  # 128/255 ≈ 0.502 -> ~0 after ±1 norm
+    p = pad_image(img, (64, 64))
+    assert p.shape == (64, 64, 3)
+    assert p[0].sum() == 0  # top padding row
+    s = siglip_preprocess(img, 28)
+    assert s.shape == (28, 28, 3)
