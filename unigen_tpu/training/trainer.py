@@ -1,0 +1,176 @@
+"""Unified pretraining orchestration (the reference's training/train.py:59-883).
+
+Host side per step: take the three task flows (t2i/lm/mmu), assemble prompt
+*templates* with placeholder image blocks via UniPrompting, and feed the jitted
+train step (training/train_step.py) which does everything else on device.
+
+Periodic work mirrors the reference: metric logging with timing meters
+(train.py:800-838), checkpoint save/rotation + portable export
+(utils/checkpoint.py), resume-from-latest (train.py:205-226), optional
+in-training image generation (train.py:847-858), per-parameter grad-norm dumps
+(train.py:785-791).
+"""
+from __future__ import annotations
+
+import dataclasses
+import os
+import time
+from typing import Any, Callable, Dict, Iterator, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models import magvit
+from ..models.unigen import UniGenConfig
+from ..prompting import UniPrompting
+from ..utils import checkpoint as CK
+from ..utils.logging import AverageMeter, MetricLogger, get_logger
+from .train_step import TrainState, TrainStepConfig, init_train_state, make_train_step
+
+logger = get_logger(__name__)
+
+
+@dataclasses.dataclass
+class TrainerConfig:
+    output_dir: str
+    max_train_steps: int
+    log_every: int = 50
+    save_every: int = 2000
+    generate_every: int = 0
+    checkpoints_total_limit: Optional[int] = None
+    resume_from_checkpoint: Optional[str] = "latest"
+    seed: int = 10084
+    und_type: str = "captioning"     # 'captioning' (mmu task) | 'llava' (mmu_conv)
+
+
+class Trainer:
+    def __init__(
+        self,
+        cfg: UniGenConfig,
+        vq_cfg: magvit.MagvitConfig,
+        tcfg: TrainStepConfig,
+        trainer_cfg: TrainerConfig,
+        prompting: UniPrompting,
+        tx,
+        params: Any,
+        vq_params: Any,
+        metric_logger: Optional[MetricLogger] = None,
+        generate_callback: Optional[Callable[[Any, int], None]] = None,
+    ):
+        self.cfg, self.vq_cfg, self.tcfg, self.tr = cfg, vq_cfg, tcfg, trainer_cfg
+        self.prompting = prompting
+        self.tx = tx
+        self.vq_params = vq_params
+        self.metrics = metric_logger or MetricLogger(trainer_cfg.output_dir)
+        self.generate_callback = generate_callback
+        self.step_fn = jax.jit(make_train_step(cfg, vq_cfg, tx, tcfg))
+        self.state = init_train_state(params, tx)
+        self.global_step = 0
+        self._maybe_resume()
+
+    # ------------------------------------------------------------- resume --
+
+    def _maybe_resume(self):
+        if not self.tr.resume_from_checkpoint:
+            return
+        path = (CK.latest_checkpoint(self.tr.output_dir)
+                if self.tr.resume_from_checkpoint == "latest"
+                else self.tr.resume_from_checkpoint)
+        if path and os.path.isdir(os.path.join(path, "state")):
+            logger.info(f"Resuming from checkpoint {path}")
+            self.state = CK.restore_checkpoint(path, self.state)
+            self.global_step = CK.resume_step(path)
+
+    # -------------------------------------------------- host batch building --
+
+    def build_device_batch(self, flow_batch: Dict[str, Dict]) -> Dict[str, Any]:
+        """Task flows -> fixed-shape template arrays for the jitted step."""
+        n = self.cfg.num_vq_tokens
+        out: Dict[str, Any] = {}
+        if self.tcfg.batch_size_t2i > 0:
+            t2i = flow_batch["t2i_flow"]
+            b = len(t2i["input_ids"])
+            placeholder = np.zeros((b, n), np.int64)
+            ids, _, labels = self.prompting((t2i["input_ids"], placeholder, placeholder),
+                                            "t2i")
+            out["t2i_template"] = jnp.asarray(ids)
+            out["t2i_labels"] = jnp.asarray(labels)
+            out["t2i_pixels"] = jnp.asarray(t2i["images"])
+        if self.tcfg.batch_size_lm > 0:
+            lm = flow_batch["lm_flow"]
+            ids, _, labels = self.prompting((lm["input_ids"], self.prompting.max_seq_len),
+                                            "lm")
+            out["lm_ids"] = jnp.asarray(ids)
+            out["lm_labels"] = jnp.asarray(labels)
+        if self.tcfg.batch_size_mmu > 0:
+            mmu = flow_batch["mmu_flow"]
+            b = mmu["images"].shape[0]
+            placeholder = np.zeros((b, n), np.int64)
+            if self.tr.und_type == "captioning":
+                ids, _, labels = self.prompting((placeholder, mmu["input_ids"]), "mmu")
+            else:  # llava conversations, pre-tokenized ids/labels
+                ids, _, labels = self.prompting(
+                    (placeholder, mmu["input_ids"], mmu["labels"], None), "mmu_conv")
+            out["mmu_template"] = jnp.asarray(ids)
+            out["mmu_labels"] = jnp.asarray(labels)
+            out["mmu_pixels"] = jnp.asarray(mmu["images"])
+        return out
+
+    # ---------------------------------------------------------------- train --
+
+    def train(self, combined_flow: Iterator[Dict[str, Dict]]) -> TrainState:
+        key = jax.random.key(self.tr.seed)
+        batch_time, data_time = AverageMeter(), AverageMeter()
+        meters = {k: AverageMeter() for k in ("loss", "loss_t2i", "loss_lm", "loss_mmu")}
+        end = time.time()
+
+        per_step_samples = (self.tcfg.batch_size_t2i + self.tcfg.batch_size_lm
+                            + self.tcfg.batch_size_mmu)
+
+        for flow_batch in combined_flow:
+            if self.global_step >= self.tr.max_train_steps:
+                break
+            batch = self.build_device_batch(flow_batch)
+            data_time.update(time.time() - end)
+
+            key, sub = jax.random.split(key)
+            self.state, metrics = self.step_fn(self.state, self.vq_params, batch, sub)
+            self.global_step += 1
+
+            for k, m in meters.items():
+                if k in metrics:
+                    m.update(metrics[k])
+            batch_time.update(time.time() - end)
+            end = time.time()
+
+            if self.global_step % self.tr.log_every == 0:
+                logs = {k: m.avg for k, m in meters.items()}
+                logs.update({
+                    "avg_masking_rate": float(metrics["avg_masking_rate"]),
+                    "grad_norm": float(metrics["grad_norm"]),
+                    "samples_per_sec_per_device": per_step_samples / max(batch_time.val, 1e-9),
+                    "data_time": data_time.avg,
+                    "batch_time": batch_time.avg,
+                })
+                self.metrics.log(logs, self.global_step)
+                logger.info(f"step {self.global_step}: loss={logs['loss']:.4f} "
+                            f"({logs['samples_per_sec_per_device']:.2f} samples/s/dev)")
+                for m in meters.values():
+                    m.reset()
+
+            if self.tr.save_every and self.global_step % self.tr.save_every == 0:
+                if jax.process_index() == 0:
+                    CK.save_checkpoint(self.state, self.tr.output_dir, self.global_step,
+                                       total_limit=self.tr.checkpoints_total_limit,
+                                       unwrapped_params=self.state.params)
+
+            if (self.generate_callback and self.tr.generate_every
+                    and self.global_step % self.tr.generate_every == 0):
+                self.generate_callback(self.state.params, self.global_step)
+
+        if jax.process_index() == 0:
+            CK.save_checkpoint(self.state, self.tr.output_dir, self.global_step,
+                               total_limit=self.tr.checkpoints_total_limit,
+                               unwrapped_params=self.state.params)
+        return self.state
