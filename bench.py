@@ -73,17 +73,24 @@ def main(batch_size: int = 8, timesteps: int = 50, warmup: int = 1, iters: int =
 
     gen = jax.jit(generate)
 
+    def sync(x):
+        """Force completion: fetch a tiny slice to host. block_until_ready is a
+        no-op over the axon relay backend, so a data dependency is the only
+        reliable fence."""
+        return np.asarray(x[:, ::64, ::64, 0])
+
     t0 = time.perf_counter()
     for _ in range(warmup):
-        gen(params, vq_params, ids, uncond, jax.random.key(2)).block_until_ready()
+        sync(gen(params, vq_params, ids, uncond, jax.random.key(2)))
     print(f"[bench] compile+warmup: {time.perf_counter() - t0:.1f}s", file=sys.stderr)
 
     times = []
     for i in range(iters):
         t0 = time.perf_counter()
         out = gen(params, vq_params, ids, uncond, jax.random.key(3 + i))
-        out.block_until_ready()
+        sync(out)
         times.append(time.perf_counter() - t0)
+        print(f"[bench] iter {i}: {times[-1]:.2f}s", file=sys.stderr)
 
     best = min(times)
     n_chips = jax.device_count()

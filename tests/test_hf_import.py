@@ -1,0 +1,127 @@
+"""Checkpoint interop tests: sharded safetensors round trip, vocab resize, SFT step."""
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from unigen_tpu.models import qwen2 as Q
+from unigen_tpu.models import siglip as SG
+from unigen_tpu.models import unigen as U
+from unigen_tpu.utils import hf_import as HI
+
+
+def test_load_sharded_safetensors(tmp_path):
+    from safetensors.numpy import save_file
+    a = {"w1": np.ones((2, 2), np.float32)}
+    b = {"w2": np.zeros((3,), np.float32)}
+    save_file(a, str(tmp_path / "model-00001-of-00002.safetensors"))
+    save_file(b, str(tmp_path / "model-00002-of-00002.safetensors"))
+    index = {"weight_map": {"w1": "model-00001-of-00002.safetensors",
+                            "w2": "model-00002-of-00002.safetensors"}}
+    with open(tmp_path / "model.safetensors.index.json", "w") as f:
+        json.dump(index, f)
+    sd = HI.load_state_dict(str(tmp_path))
+    assert set(sd) == {"w1", "w2"}
+
+
+def test_resize_embedding():
+    w = np.arange(12, dtype=np.float32).reshape(4, 3)
+    up = HI.resize_embedding(w, 6)
+    assert up.shape == (6, 3)
+    np.testing.assert_allclose(up[4], w.mean(0))
+    np.testing.assert_array_equal(HI.resize_embedding(w, 2), w[:2])
+
+
+def test_import_unigen_with_vocab_resize():
+    """Torch UniGen-layout state dict (smaller vocab) -> our params, logits work."""
+    torch = pytest.importorskip("torch")
+    from transformers import Qwen2Config as HFConfig
+    from transformers import Qwen2ForCausalLM
+
+    small_vocab = 480
+    hf_cfg = HFConfig(vocab_size=small_vocab, hidden_size=64, intermediate_size=128,
+                      num_hidden_layers=2, num_attention_heads=4,
+                      num_key_value_heads=2, head_dim=16, rope_theta=1e4,
+                      tie_word_embeddings=True, attn_implementation="eager")
+    torch.manual_seed(0)
+    hf = Qwen2ForCausalLM(hf_cfg)
+    sd = {f"llm.{k}": v.detach().numpy() for k, v in hf.state_dict().items()}
+    # add a 2-layer mm projector like the reference SFT checkpoints
+    sd["mm_projector.0.weight"] = np.ones((64, 24), np.float32).T
+    sd["mm_projector.0.bias"] = np.zeros((64,), np.float32)
+    sd["mm_projector.2.weight"] = np.eye(64, dtype=np.float32)
+    sd["mm_projector.2.bias"] = np.zeros((64,), np.float32)
+
+    cfg = U.UniGenConfig.tiny(w_und_encoder=True, mm_input_dim=24,
+                              text_vocab_len=small_vocab + 8, codebook_size=32)
+    params = HI.import_unigen(sd, cfg)
+    assert params["llm"]["embed"]["weight"].shape == (cfg.vocab_size, 64)
+    assert len(params["mm_projector"]) == 2
+    # resized rows are the mean of the original table
+    orig = hf.state_dict()["model.embed_tokens.weight"].numpy()
+    np.testing.assert_allclose(np.asarray(params["llm"]["embed"]["weight"][small_vocab]),
+                               orig.mean(0), rtol=1e-3, atol=1e-5)
+    # forward works with the imported params
+    h, _ = Q.forward(params["llm"], cfg.llm, input_ids=jnp.asarray([[1, 2, 3]]))
+    assert np.isfinite(np.asarray(h)).all()
+
+
+def test_sft_step_runs():
+    from unigen_tpu.training import lr_schedules as LRS
+    from unigen_tpu.training.optimizer import make_optimizer
+    from unigen_tpu.training.sft import SFTStepConfig, make_sft_train_step
+    from unigen_tpu.training.train_step import init_train_state
+
+    cfg = U.UniGenConfig.tiny(w_und_encoder=True, mm_input_dim=32)
+    from unigen_tpu.models import magvit as MV
+    vq_cfg = MV.MagvitConfig.tiny(resolution=8, z_channels=5)
+    vs_cfg = SG.SiglipConfig.tiny(image_size=28, patch_size=14, hidden_size=32)
+    params = U.init(jax.random.key(0), cfg)
+    vq_params = MV.init(jax.random.key(1), vq_cfg)
+    vs_params = SG.init(jax.random.key(2), vs_cfg)
+
+    b, n, L = 2, cfg.num_vq_tokens, 28
+    rng = np.random.default_rng(0)
+    t2i_template = rng.integers(3, 100, size=(b, L))
+    t2i_template[:, -n - 2] = 1
+    t2i_template[:, -n - 1:-1] = 0
+    t2i_template[:, -1] = 2
+    p = vs_cfg.num_patches  # 4 patches at 28px/14
+    part1 = rng.integers(3, 100, size=(b, 3))
+    part2 = rng.integers(3, 100, size=(b, 8))
+    labels = np.full((b, 3 + p + 8), -100)
+    labels[:, -4:] = rng.integers(3, 100, size=(b, 4))
+    batch = {
+        "t2i_template": jnp.asarray(t2i_template),
+        "t2i_labels": jnp.full((b, L), -100, jnp.int32),
+        "t2i_pixels": jnp.asarray(rng.normal(size=(b, 8, 8, 3)), jnp.float32),
+        "lm_ids": jnp.asarray(rng.integers(3, 100, size=(b, L))),
+        "lm_labels": jnp.asarray(rng.integers(3, 100, size=(b, L))),
+        "mmu_part1": jnp.asarray(part1),
+        "mmu_part2": jnp.asarray(part2),
+        "mmu_labels": jnp.asarray(labels),
+        "mmu_pixels": jnp.asarray(rng.normal(size=(b, 28, 28, 3)), jnp.float32),
+        "mmu_prompt_len": jnp.asarray([3 + p + 8, 3 + p + 6]),
+    }
+    schedule = LRS.get_scheduler("constant")
+    tx = make_optimizer(params, 1e-3, schedule,
+                        lr_mapper={"mm_projector": 2.0},
+                        tunable_parts=["mm_projector", "llm"])
+    tcfg = SFTStepConfig(batch_size_t2i=b, batch_size_lm=b, batch_size_mmu=b)
+    step = jax.jit(make_sft_train_step(cfg, vq_cfg, vs_cfg, tx, tcfg))
+    state = init_train_state(params, tx)
+    state, metrics = step(state, vq_params, vs_params, batch, jax.random.key(0))
+    for k in ("loss", "loss_t2i", "loss_lm", "loss_mmu"):
+        assert np.isfinite(float(metrics[k])), k
+
+
+def test_grid_tiles():
+    from unigen_tpu.training.sft import grid_tiles
+    px = jnp.arange(2 * 8 * 8 * 3, dtype=jnp.float32).reshape(2, 8, 8, 3)
+    tiles = grid_tiles(px, n_grid=2, tile_size=4)
+    assert tiles.shape == (2, 5, 4, 4, 3)
+    np.testing.assert_array_equal(np.asarray(tiles[:, 1]), np.asarray(px[:, :4, :4]))
+    np.testing.assert_array_equal(np.asarray(tiles[:, 4]), np.asarray(px[:, 4:, 4:]))

@@ -1,0 +1,107 @@
+"""Understanding-benchmark adapter (lmms-eval style).
+
+Counterpart of the reference's lmms-eval model plugin
+(reference: third_party/lmms/models/unigen.py:44-444): implements the
+``generate_until`` protocol used by MMMU/GQA/POPE/AI2D/etc. — build the
+mmu_conv embedding splice with an optional system prompt, run the prefix-LM
+cached decode, trim at stop sequences. Multi-image requests follow the
+reference's 'concat' (horizontal paste) or 'first' modes (:292-324), and n_grid
+tiling is available through the SFT tiling helper.
+
+When the lmms-eval package is installed, ``register()`` exposes this class under
+the model name "unigen_tpu"; without it the adapter is driven directly:
+
+    adapter = UniGenLmmsAdapter(pipeline)
+    answers = adapter.generate_until(requests)
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+
+from ..data.transform import siglip_preprocess
+from ..pipeline import UniGenPipeline
+
+QWEN_SYSTEM_PROMPT = "<|im_start|>system\nYou are a helpful assistant.<|im_end|>\n"
+
+
+def concat_images_horizontal(images: Sequence) -> Any:
+    """Paste images side by side (reference multi-image 'concat' mode, :292-316)."""
+    from PIL import Image
+    ims = [im if isinstance(im, Image.Image) else Image.fromarray(np.asarray(im))
+           for im in images]
+    h = max(im.height for im in ims)
+    w = sum(im.width for im in ims)
+    canvas = Image.new("RGB", (w, h))
+    x = 0
+    for im in ims:
+        canvas.paste(im, (x, 0))
+        x += im.width
+    return canvas
+
+
+@dataclasses.dataclass
+class UniGenLmmsAdapter:
+    pipeline: UniGenPipeline
+    multi_image_mode: str = "concat"       # 'concat' | 'first'
+    max_new_tokens: int = 512
+    use_system_prompt: bool = True
+    seed: int = 0
+
+    def _prepare_image(self, images) -> np.ndarray:
+        if isinstance(images, (list, tuple)):
+            if len(images) == 0:
+                raise ValueError("request without images")
+            if len(images) > 1 and self.multi_image_mode == "concat":
+                images = concat_images_horizontal(images)
+            else:
+                images = images[0]
+        size = self.pipeline.vision_cfg.image_size
+        return siglip_preprocess(images, size)
+
+    def generate_until(self, requests: List[Tuple[str, Dict, Any]]) -> List[str]:
+        """requests: [(context, gen_kwargs, images)] -> generated strings.
+
+        gen_kwargs honors 'max_new_tokens', 'temperature', 'top_k' and 'until'
+        stop strings (reference generate_until kwargs handling, :330-430).
+        """
+        out: List[str] = []
+        key = jax.random.key(self.seed)
+        sys_ids = None
+        if self.use_system_prompt:
+            sys_ids = np.asarray(
+                [self.pipeline.prompting._tokenize(QWEN_SYSTEM_PROMPT)[0]])
+        for context, gen_kwargs, images in requests:
+            key, sub = jax.random.split(key)
+            pixels = self._prepare_image(images)[None]
+            temperature = float(gen_kwargs.get("temperature", 0.0) or 0.0)
+            toks = self.pipeline.understand(
+                pixels, [context], sub,
+                system_prompt_ids=sys_ids,
+                max_new_tokens=int(gen_kwargs.get("max_new_tokens",
+                                                  self.max_new_tokens)),
+                temperature=temperature,
+                top_k=gen_kwargs.get("top_k"))
+            text = self.pipeline.decode_text(toks)[0]
+            for stop in gen_kwargs.get("until", []) or []:
+                if stop and stop in text:
+                    text = text.split(stop)[0]
+            out.append(text)
+        return out
+
+    def loglikelihood(self, requests):
+        raise NotImplementedError(
+            "loglikelihood is not used by the reference's task suite "
+            "(generate_until-only benchmarks, reference :209-214)")
+
+
+def register(name: str = "unigen_tpu"):
+    """Register with lmms-eval when available (reference @register_model, :44)."""
+    try:
+        from lmms_eval.api.registry import register_model
+    except ImportError:
+        return None
+    return register_model(name)(UniGenLmmsAdapter)

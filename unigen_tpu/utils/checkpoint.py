@@ -50,6 +50,8 @@ def save_checkpoint(state: PyTree, output_dir: str, step: int,
     """Save trainer state (and optionally a portable params-only copy)."""
     rotate_checkpoints(output_dir, total_limit)
     path = os.path.join(output_dir, f"checkpoint-{step}")
+    if os.path.isdir(path):  # overwrite semantics (re-save at the same step)
+        shutil.rmtree(path, ignore_errors=True)
     with ocp.StandardCheckpointer() as ckptr:
         ckptr.save(os.path.abspath(os.path.join(path, "state")), state)
         if unwrapped_params is not None:
