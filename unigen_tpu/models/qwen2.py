@@ -165,7 +165,8 @@ def rope(x: Array, positions: Array, theta: float, scaling_factor: float = 1.0) 
 
 def _attention_block(p, cfg: Qwen2Config, x: Array, mask: Optional[Array],
                      positions: Array, layer_cache: Optional[Tuple[Array, Array]],
-                     cache_index: Optional[Array]):
+                     cache_index: Optional[Array],
+                     meta_bits: Optional[Array] = None):
     b, l, _ = x.shape
     h, kvh, dh = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
     q = _dense(p["q"], x).reshape(b, l, h, dh)
@@ -182,7 +183,14 @@ def _attention_block(p, cfg: Qwen2Config, x: Array, mask: Optional[Array],
         k, v = ck, cv
         new_cache = (ck, cv)
 
-    out = dot_product_attention(q, k.astype(q.dtype), v.astype(q.dtype), mask=mask)
+    if meta_bits is not None:
+        # Pallas kernel: omni mask computed on the fly, zero HBM mask traffic
+        # (interpret mode off-TPU so CPU CI exercises the same code path)
+        from ..ops.flash_attention import flash_attention
+        out = flash_attention(q, k.astype(q.dtype), v.astype(q.dtype), meta_bits,
+                              interpret=jax.default_backend() != "tpu")
+    else:
+        out = dot_product_attention(q, k.astype(q.dtype), v.astype(q.dtype), mask=mask)
     out = out.reshape(b, l, h * dh)
     return _dense(p["o"], out), new_cache
 
@@ -191,10 +199,11 @@ def _mlp_block(p, x: Array) -> Array:
     return _dense(p["down"], jax.nn.silu(_dense(p["gate"], x)) * _dense(p["up"], x))
 
 
-def _layer(p, cfg: Qwen2Config, x, mask, positions, layer_cache, cache_index):
+def _layer(p, cfg: Qwen2Config, x, mask, positions, layer_cache, cache_index,
+           meta_bits=None):
     attn_out, new_cache = _attention_block(
         p["attn"], cfg, rms_norm(x, p["input_ln"]["scale"], cfg.rms_norm_eps),
-        mask, positions, layer_cache, cache_index)
+        mask, positions, layer_cache, cache_index, meta_bits=meta_bits)
     x = x + attn_out
     x = x + _mlp_block(p["mlp"], rms_norm(x, p["post_ln"]["scale"], cfg.rms_norm_eps))
     return x, new_cache
@@ -215,11 +224,15 @@ def forward(
     positions: Optional[Array] = None,   # [B, Lq]
     cache: Optional[KVCache] = None,
     remat: bool = False,
+    use_flash: Optional[bool] = None,
 ) -> Tuple[Array, Optional[KVCache]]:
     """Backbone forward. Returns (hidden_states [B, L, D], updated cache or None).
 
     Without a cache this is the training/prefill path; with a cache the incoming
     chunk is written at ``cache.index`` and attention runs against the full cache.
+
+    With ``meta`` (AttnMeta) and no cache, the Pallas omni-mask kernel is used on
+    TPU (``use_flash=None`` auto-selects; True/False forces).
     """
     if inputs_embeds is None:
         inputs_embeds = embed(params, input_ids)
@@ -231,7 +244,14 @@ def forward(
         positions = start + jnp.arange(l)[None, :]
         positions = jnp.broadcast_to(positions, (b, l))
 
-    if mask is None and meta is not None:
+    meta_bits = None
+    if meta is not None and cache is None:
+        if use_flash is None:
+            use_flash = jax.default_backend() == "tpu" and cfg.head_dim % 128 == 0
+        if use_flash:
+            from ..ops.flash_attention import pack_meta
+            meta_bits = pack_meta(meta)
+    if mask is None and meta is not None and meta_bits is None:
         mask = meta.visibility()
     if mask is None and cache is None:
         pos = jnp.arange(l)
@@ -249,7 +269,8 @@ def forward(
         layer_params, layer_kv = scanned
         layer_cache = None if layer_kv is None else layer_kv
         out, new_cache = _layer(layer_params, cfg, xc, mask, positions, layer_cache,
-                                cache.index if cache is not None else None)
+                                cache.index if cache is not None else None,
+                                meta_bits=meta_bits)
         return out, new_cache
 
     if remat:

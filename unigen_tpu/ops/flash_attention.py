@@ -1,0 +1,124 @@
+"""Pallas TPU attention kernel with on-the-fly omni-mask computation.
+
+Replaces the reference's materialized [B,1,L,L] additive float masks
+(reference: training/prompting_utils.py:975-1074) with three per-token bit flags
+(ops.masks.AttnMeta) evaluated inside the kernel:
+
+    visible(q, k) = ~pad[q] & ~pad[k] & (k <= q | bidir_q[q] | bidir_k[k])
+
+This covers all three mask families with zero HBM mask traffic:
+  * plain causal            (all flags zero)
+  * t2i omni                (bidir_q on image-block tokens)
+  * mmu prefix-LM           (bidir_k on the image prefix)
+
+Kernel shape: grid (B, H, Lq/BQ); K/V for one (batch, kv-head) live in VMEM
+(UniGen sequences are ≤ ~1.5k tokens — SURVEY.md §5 long-context note — so a
+single K/V tile fits comfortably); fp32 logits/softmax on the MXU/VPU; GQA by
+q-head -> kv-head index mapping in the BlockSpec.
+
+The same function runs in interpreter mode on CPU for CI parity tests.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .masks import AttnMeta
+
+Array = jax.Array
+
+_PAD_BIT, _BIDIRQ_BIT, _BIDIRK_BIT = 1, 2, 4
+
+
+def pack_meta(meta: AttnMeta) -> Array:
+    """AttnMeta -> [B, L] int32 bitfield consumed by the kernel."""
+    return (meta.pad.astype(jnp.int32) * _PAD_BIT
+            + meta.bidir_q.astype(jnp.int32) * _BIDIRQ_BIT
+            + meta.bidir_k.astype(jnp.int32) * _BIDIRK_BIT)
+
+
+def _attn_kernel(meta_q_ref, meta_k_ref, q_ref, k_ref, v_ref, o_ref, *, scale,
+                 block_q):
+    i = pl.program_id(2)
+    q = q_ref[0, 0]                       # [BQ, D]
+    k = k_ref[0, 0]                       # [Lk, D]
+    v = v_ref[0, 0]                       # [Lk, D]
+    lk = k.shape[0]
+
+    logits = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale   # [BQ, Lk]
+
+    mq = meta_q_ref[0]                    # [BQ] int32
+    mk = meta_k_ref[0]                    # [Lk] int32
+    q_pos = i * block_q + jax.lax.broadcasted_iota(jnp.int32, logits.shape, 0)
+    k_pos = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
+
+    pad_q = (mq & _PAD_BIT) != 0
+    bidir_q = (mq & _BIDIRQ_BIT) != 0
+    pad_k = (mk & _PAD_BIT) != 0
+    bidir_k = (mk & _BIDIRK_BIT) != 0
+
+    visible = (k_pos <= q_pos) | bidir_q[:, None] | bidir_k[None, :]
+    visible &= ~pad_q[:, None] & ~pad_k[None, :]
+
+    logits = jnp.where(visible, logits, jnp.finfo(jnp.float32).min)
+    # fp32 softmax; fully-masked rows (pads) produce uniform weights over the
+    # -inf row — matching the XLA path's where+softmax behavior
+    weights = jax.nn.softmax(logits, axis=-1)
+    o_ref[0, 0] = jax.lax.dot_general(
+        weights.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "block_q", "interpret"))
+def flash_attention(
+    q: Array,            # [B, Lq, H, Dh]
+    k: Array,            # [B, Lk, KVH, Dh]
+    v: Array,            # [B, Lk, KVH, Dh]
+    meta_bits: Array,    # [B, L] int32 (pack_meta), with Lq == Lk == L
+    scale: Optional[float] = None,
+    block_q: int = 128,
+    interpret: bool = False,
+) -> Array:
+    """Self-attention with kernel-side omni masking. Returns [B, Lq, H, Dh]."""
+    b, lq, h, dh = q.shape
+    lk, kvh = k.shape[1], k.shape[2]
+    if scale is None:
+        scale = dh ** -0.5
+    rep = h // kvh
+
+    # [B, L, H, D] -> [B, H, L, D] tiles
+    qt = jnp.swapaxes(q, 1, 2)
+    kt = jnp.swapaxes(k, 1, 2)
+    vt = jnp.swapaxes(v, 1, 2)
+
+    block_q = min(block_q, lq)
+    grid = (b, h, pl.cdiv(lq, block_q))
+
+    out = pl.pallas_call(
+        functools.partial(_attn_kernel, scale=scale, block_q=block_q),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q), lambda bi, hi, qi: (bi, qi),
+                         memory_space=pltpu.VMEM),                    # meta_q
+            pl.BlockSpec((1, lk), lambda bi, hi, qi: (bi, 0),
+                         memory_space=pltpu.VMEM),                    # meta_k
+            pl.BlockSpec((1, 1, block_q, dh), lambda bi, hi, qi: (bi, hi, qi, 0),
+                         memory_space=pltpu.VMEM),                    # q
+            pl.BlockSpec((1, 1, lk, dh), lambda bi, hi, qi: (bi, hi // rep, 0, 0),
+                         memory_space=pltpu.VMEM),                    # k
+            pl.BlockSpec((1, 1, lk, dh), lambda bi, hi, qi: (bi, hi // rep, 0, 0),
+                         memory_space=pltpu.VMEM),                    # v
+        ],
+        out_specs=pl.BlockSpec((1, 1, block_q, dh), lambda bi, hi, qi: (bi, hi, qi, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, h, lq, dh), q.dtype),
+        interpret=interpret,
+    )(meta_bits, meta_bits, qt, kt, vt)
+    return jnp.swapaxes(out, 1, 2)
