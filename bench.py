@@ -13,10 +13,31 @@ Random weights (identical FLOPs/memory traffic to trained ones).
 from __future__ import annotations
 
 import json
+import signal
 import sys
 import time
 
 import numpy as np
+
+
+class _Watchdog:
+    """Hard wall-clock limit: the ambient TPU relay can wedge on device->host
+    transfers; on timeout we emit a JSON line flagged as not-synced rather than
+    hanging the driver."""
+
+    def __init__(self, seconds: int):
+        self.seconds = seconds
+
+    def __enter__(self):
+        signal.signal(signal.SIGALRM, self._raise)
+        signal.alarm(self.seconds)
+        return self
+
+    def _raise(self, *a):
+        raise TimeoutError("bench watchdog fired")
+
+    def __exit__(self, *a):
+        signal.alarm(0)
 
 
 def main(batch_size: int = 8, timesteps: int = 50, warmup: int = 1, iters: int = 3):
@@ -79,27 +100,38 @@ def main(batch_size: int = 8, timesteps: int = 50, warmup: int = 1, iters: int =
         reliable fence."""
         return np.asarray(x[:, ::64, ::64, 0])
 
-    t0 = time.perf_counter()
-    for _ in range(warmup):
-        sync(gen(params, vq_params, ids, uncond, jax.random.key(2)))
-    print(f"[bench] compile+warmup: {time.perf_counter() - t0:.1f}s", file=sys.stderr)
-
+    synced = True
     times = []
-    for i in range(iters):
-        t0 = time.perf_counter()
-        out = gen(params, vq_params, ids, uncond, jax.random.key(3 + i))
-        sync(out)
-        times.append(time.perf_counter() - t0)
-        print(f"[bench] iter {i}: {times[-1]:.2f}s", file=sys.stderr)
+    try:
+        with _Watchdog(420):
+            t0 = time.perf_counter()
+            for _ in range(warmup):
+                sync(gen(params, vq_params, ids, uncond, jax.random.key(2)))
+            print(f"[bench] compile+warmup: {time.perf_counter() - t0:.1f}s",
+                  file=sys.stderr)
+            for i in range(iters):
+                t0 = time.perf_counter()
+                out = gen(params, vq_params, ids, uncond, jax.random.key(3 + i))
+                sync(out)
+                times.append(time.perf_counter() - t0)
+                print(f"[bench] iter {i}: {times[-1]:.2f}s", file=sys.stderr)
+    except TimeoutError:
+        synced = False
+        print("[bench] device->host sync wedged (relay); reporting unsynced",
+              file=sys.stderr)
 
-    best = min(times)
     n_chips = jax.device_count()
-    img_per_sec_per_chip = batch_size / best / n_chips
+    if times:
+        best = min(times)
+        img_per_sec_per_chip = batch_size / best / n_chips
+    else:
+        img_per_sec_per_chip = 0.0
     print(json.dumps({
         "metric": "256px images/sec/chip (GenEval protocol: guidance 6, 50 steps)",
         "value": round(img_per_sec_per_chip, 4),
         "unit": "images/sec/chip",
         "vs_baseline": round(img_per_sec_per_chip / 16.0, 4),
+        "synced": synced,
     }))
 
 

@@ -197,3 +197,41 @@ def test_transforms():
     assert p[0].sum() == 0  # top padding row
     s = siglip_preprocess(img, 28)
     assert s.shape == (28, 28, 3)
+
+
+def test_native_tarloader(tmp_path):
+    from unigen_tpu.data.native import NativeTarStream, native_available
+    if not native_available():
+        pytest.skip("libtarloader.so not built")
+    shard1 = str(tmp_path / "a.tar")
+    shard2 = str(tmp_path / "b.tar")
+    _make_tar(shard1, n=3, with_bad=False)
+    _make_tar(shard2, n=2, with_bad=False)
+    stream = NativeTarStream([shard1, shard2], seed=0, resample=False)
+    samples = list(stream)
+    assert len(samples) == 5
+    keys = {s["__key__"] for s in samples}
+    assert len(keys) == 3  # 00000..00002 shared basenames across shards
+    s = samples[0]
+    assert ".png" in s and ".json" in s
+    meta = json.loads(s[".json"])
+    assert "prompt" in meta
+    # python and native parsers agree sample-for-sample on one shard
+    py = list(iterate_tar_samples(shard1))
+    nat = list(NativeTarStream([shard1], resample=False))
+    assert [p["__key__"] for p in py] == [n["__key__"] for n in nat]
+    for p, n in zip(py, nat):
+        assert p[".png"] == n[".png"] and p[".json"] == n[".json"]
+
+
+def test_native_tarloader_resample_is_infinite(tmp_path):
+    from unigen_tpu.data.native import NativeTarStream, native_available
+    if not native_available():
+        pytest.skip("libtarloader.so not built")
+    shard = str(tmp_path / "r.tar")
+    _make_tar(shard, n=2, with_bad=False)
+    stream = NativeTarStream([shard], seed=1, resample=True)
+    it = iter(stream)
+    got = [next(it)["__key__"] for _ in range(7)]  # > shard size: keeps streaming
+    assert len(got) == 7
+    stream.close()

@@ -110,6 +110,7 @@ class Text2ImageDataset:
     person_substitution: str = "person"     # reference :97-103
     seed: int = 0
     num_batches: Optional[int] = None
+    use_native: Optional[bool] = None       # None = auto (use C++ core if built)
 
     def __post_init__(self):
         self._shards: List[str] = []
@@ -118,6 +119,9 @@ class Text2ImageDataset:
         if not self._shards:
             raise ValueError("no shards")
         self._rng = random.Random(self.seed)
+        if self.use_native is None:
+            from .native import native_available
+            self.use_native = native_available()
 
     # -- caption processing (reference :97-184, :319-345) ---------------------
 
@@ -172,6 +176,11 @@ class Text2ImageDataset:
     # -- stream ----------------------------------------------------------------
 
     def _sample_stream(self) -> Iterator[Dict]:
+        if self.use_native:
+            # C++ core: background-threaded tar reading + key grouping
+            from .native import NativeTarStream
+            yield from NativeTarStream(self._shards, seed=self.seed, resample=True)
+            return
         while True:  # resample shards with replacement (reference :213-216)
             shard = self._rng.choice(self._shards)
             yield from iterate_tar_samples(shard)
