@@ -1,0 +1,154 @@
+"""Auxiliary subsystem tests: persistence, diagnostics, retry, EMA, DPO data,
+dataflows, config system."""
+import json
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from unigen_tpu.data import dataflows as DF
+from unigen_tpu.data.dpo_data import DPODataset, apply_sampling
+from unigen_tpu.training.diagnostics import masked_token_diagnostics
+from unigen_tpu.training.ema import EMAConfig, ema_init, ema_update
+from unigen_tpu.utils import persistence as P
+from unigen_tpu.utils.configuration import flatten_config, initialize_config
+from unigen_tpu.utils.retry import backoff_on
+
+
+def test_persistence_roundtrip_sharded(tmp_path):
+    from unigen_tpu.models import qwen2 as Q
+    cfg = Q.Qwen2Config.tiny(vocab_size=128)
+    params = Q.init(jax.random.key(0), cfg)
+    out = str(tmp_path / "model")
+    P.save_pretrained(params, out, config=cfg, max_shard_bytes=200_000)
+    files = os.listdir(out)
+    assert "config.json" in files
+    assert any("of-" in f for f in files)  # sharded
+    assert any(f.endswith("index.json") for f in files)
+    loaded, cfg_json = P.from_pretrained(out, params)
+    import chex
+    chex.assert_trees_all_close(loaded, params)
+    assert cfg_json["vocab_size"] == 128
+
+
+def test_persistence_single_file(tmp_path):
+    params = {"a": {"w": jnp.ones((4, 4))}, "b": [jnp.zeros((2,))]}
+    out = str(tmp_path / "m")
+    P.save_pretrained(params, out)
+    assert os.path.exists(os.path.join(out, "model.safetensors"))
+    loaded, _ = P.from_pretrained(out, params)
+    np.testing.assert_array_equal(np.asarray(loaded["a"]["w"]), np.ones((4, 4)))
+
+
+def test_masked_token_diagnostics():
+    rng = np.random.default_rng(0)
+    logits = jnp.asarray(rng.normal(size=(4, 8, 16)), jnp.float32)
+    labels = jnp.asarray(rng.integers(0, 16, size=(4, 8)))
+    labels = labels.at[0, :4].set(-100)
+    mask_prob = jnp.asarray([0.05, 0.55, 0.55, 0.95])
+    d = masked_token_diagnostics(logits, labels, mask_prob, num_buckets=10)
+    assert d["bucket_tokens"].shape == (10,)
+    assert float(d["bucket_tokens"][0]) == 4.0  # sample 0: 4 unmasked labels
+    assert float(d["bucket_tokens"][5]) == 16.0
+    assert np.isfinite(np.asarray(d["bucket_ce"])).all()
+
+
+def test_ema_update_moves_toward_params():
+    params = {"w": jnp.zeros((3,))}
+    target = {"w": jnp.ones((3,))}
+    cfg = EMAConfig(decay=0.9, use_ema_warmup=False)
+    state = ema_init(params)
+    for _ in range(20):
+        state = ema_update(cfg, state, target)
+    assert 0.5 < float(state.params["w"][0]) <= 1.0
+
+
+def test_backoff_on_retries():
+    calls = {"n": 0}
+
+    @backoff_on((ValueError,), max_tries=3, base_delay=0.01)
+    def flaky():
+        calls["n"] += 1
+        if calls["n"] < 3:
+            raise ValueError("boom")
+        return 42
+
+    assert flaky() == 42
+    assert calls["n"] == 3
+
+    @backoff_on((ValueError,), max_tries=2, base_delay=0.01)
+    def always_fails():
+        raise ValueError("nope")
+
+    with pytest.raises(ValueError):
+        always_fails()
+
+
+def test_dpo_dataset(tmp_path):
+    from PIL import Image
+    os.makedirs(tmp_path / "imgs", exist_ok=True)
+    for name, color in [("c.png", (250, 0, 0)), ("r.png", (0, 250, 0))]:
+        Image.new("RGB", (20, 20), color).save(tmp_path / "imgs" / name)
+    data = [{"prompt": f"p{i}", "chosen": "c.png", "rejected": "r.png"}
+            for i in range(6)]
+    jp = str(tmp_path / "pairs.json")
+    with open(jp, "w") as f:
+        json.dump(data, f)
+    ds = DPODataset([jp], str(tmp_path / "imgs"), per_device_batch_size=2,
+                    resolution=16, sampling_strategy="first",
+                    sampling_number=["50%"])
+    assert len(ds) == 3
+    batch = next(iter(ds))
+    assert batch["batch_chosen_image"].shape == (2, 16, 16, 3)
+    assert len(batch["batch_prompt_list"]) == 2
+    # chosen is reddish, rejected greenish after ±1 normalize
+    assert batch["batch_chosen_image"][0, 8, 8, 0] > 0.8
+    assert batch["batch_rejected_image"][0, 8, 8, 1] > 0.8
+
+
+def test_apply_sampling():
+    import random
+    items = [{"i": i} for i in range(10)]
+    assert len(apply_sampling(items, "first", "30%", random.Random(0))) == 3
+    assert apply_sampling(items, "end", "2", random.Random(0))[-1]["i"] == 9
+    assert len(apply_sampling(items, "random", "4", random.Random(0))) == 4
+
+
+def test_dataflow_question_synthesis():
+    prompt = DF.question_prompt("The image shows a red cat on a mat")
+    assert "red cat on a mat" in prompt
+    assert "The image shows" not in prompt.split("description: ")[1].split(" into")[0]
+    qs = DF.parse_questions("Is there a cat?; Is the cat red?; ; garbage")
+    assert qs == ["Is there a cat?", "Is the cat red?", "garbage?"]
+    table = DF.build_question_table(
+        [{"id": "x", "prompt": "a red cat"}],
+        generate=lambda p: "Is there a cat?; Is the cat red?")
+    assert table[0]["questions"] == ["Is there a cat?", "Is the cat red?"]
+
+
+def test_dataflow_pseudo_labels_and_pairs():
+    rows = DF.pseudo_label_images(
+        ["img1"], [["Is there a cat?", "Is it red?"]],
+        answer=lambda img, q: "Yes" if "cat" in q else "no idea")
+    assert rows[0][0]["answer"] == "yes" and rows[0][1]["answer"] == "no"
+    pairs = DF.select_preference_pairs([
+        {"image": "a.png", "score": 1.0}, {"image": "b.png", "score": 0.2}])
+    assert pairs[0]["chosen"] == "a.png" and pairs[0]["rejected"] == "b.png"
+    assert DF.select_preference_pairs([{"image": "a", "score": 0.5},
+                                       {"image": "b", "score": 0.5}]) == []
+
+
+def test_config_system(tmp_path):
+    p = str(tmp_path / "c.yaml")
+    with open(p, "w") as f:
+        f.write("a:\n  b: 1\n  lr: 2.0e-4\nc: ${a.lr}\n")
+    cfg = initialize_config(p, ["a.b=5", "d.e=hello", "config=ignored"])
+    assert cfg.a.b == 5
+    assert cfg.c == 2e-4  # interpolation
+    assert cfg.d.e == "hello"
+    flat = flatten_config(cfg)
+    assert flat["a.b"] == 5 and flat["d.e"] == "hello"
+    assert cfg.get("missing", 7) == 7
