@@ -206,3 +206,29 @@ def test_generate_text_ragged_batch(model):
     solo = generate_text(params, cfg, jax.random.key(0), jnp.asarray(a),
                          prompt_len=jnp.asarray([5]), max_new_tokens=4)
     np.testing.assert_array_equal(np.asarray(out)[0], np.asarray(solo)[0])
+
+
+def test_t2i_prefix_cached_matches_full_path(model):
+    """The prefix-KV-cached sampler must produce the same tokens as the
+    reference-shaped full re-forward path (same key, same math)."""
+    cfg, params = model
+    rng = np.random.default_rng(11)
+    n = cfg.num_vq_tokens
+    b = 2
+    text = rng.integers(3, 100, size=(b, 6))
+    ids = np.concatenate([np.zeros((b, 2), np.int64),  # left padding (pad_id=0)
+                          text, np.full((b, 1), 1),
+                          np.full((b, n), cfg.mask_token_id),
+                          np.full((b, 1), 2)], axis=1)
+    ids = jnp.asarray(ids)
+    uncond = jnp.asarray(np.roll(np.asarray(ids), 1, axis=0))
+    mask = M.create_attention_mask_predict_next(
+        jnp.concatenate([ids, uncond], 0), pad_id=0, soi_id=1, eoi_id=2,
+        rm_pad_in_image=True)
+    kwargs = dict(uncond_input_ids=uncond, guidance_scale=2.0, timesteps=4,
+                  temperature=1.0)
+    full = t2i_generate(params, cfg, jax.random.key(5), ids, mask,
+                        reuse_prefix_cache=False, **kwargs)
+    cached = t2i_generate(params, cfg, jax.random.key(5), ids, mask,
+                          reuse_prefix_cache=True, pad_id=0, **kwargs)
+    np.testing.assert_array_equal(np.asarray(full), np.asarray(cached))

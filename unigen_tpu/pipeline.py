@@ -47,7 +47,8 @@ def _generate_codes(params, cfg, ids, uncond_ids, key, *, pad_id, soi_id, eoi_id
     return t2i_generate(params, cfg, key, ids, attn, uncond_input_ids=uncond_ids,
                         temperature=temperature, timesteps=timesteps,
                         guidance_scale=guidance_scale,
-                        noise_schedule=S.get_mask_schedule(mask_schedule))
+                        noise_schedule=S.get_mask_schedule(mask_schedule),
+                        pad_id=pad_id)
 
 
 @partial(jax.jit, static_argnames=("cfg", "vq_cfg"))
