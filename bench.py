@@ -83,41 +83,57 @@ def main(batch_size: int = 8, timesteps: int = 50, warmup: int = 1, iters: int =
     ids = prompt_batch(batch_size)
     uncond = prompt_batch(batch_size)
 
-    def generate(params, vq_params, ids, uncond, key):
+    def sample_codes(params, ids, uncond, key):
         both = jnp.concatenate([ids, uncond], axis=0)
         attn = M.create_attention_mask_predict_next(both, pad, soi, eoi,
                                                     rm_pad_in_image=True)
         codes = t2i_generate(params, cfg, key, ids, attn, uncond_input_ids=uncond,
-                             guidance_scale=6.0, timesteps=timesteps, temperature=1.0)
-        codes = jnp.clip(codes, 0, cfg.codebook_size - 1)
+                             guidance_scale=6.0, timesteps=timesteps, temperature=1.0,
+                             pad_id=pad)
+        return jnp.clip(codes, 0, cfg.codebook_size - 1)
+
+    def decode(vq_params, codes):
         return magvit.decode_code(vq_params, vq_cfg, codes)
 
-    gen = jax.jit(generate)
+    sampler = jax.jit(sample_codes)
+    decoder = jax.jit(decode)
 
-    def sync(x):
-        """Force completion: fetch a tiny slice to host. block_until_ready is a
-        no-op over the axon relay backend, so a data dependency is the only
-        reliable fence."""
+    def sync_codes(x):
+        """Force completion via a host fetch: block_until_ready is a no-op over
+        the axon relay backend, so a data dependency is the only reliable fence."""
+        return np.asarray(x[:, ::16])
+
+    def sync_px(x):
         return np.asarray(x[:, ::64, ::64, 0])
+
+    def phase(name, budget, fn):
+        t0 = time.perf_counter()
+        with _Watchdog(budget):
+            out = fn()
+        dt = time.perf_counter() - t0
+        print(f"[bench] {name}: {dt:.1f}s", file=sys.stderr)
+        return out, dt
 
     synced = True
     times = []
     try:
-        with _Watchdog(420):
-            t0 = time.perf_counter()
-            for _ in range(warmup):
-                sync(gen(params, vq_params, ids, uncond, jax.random.key(2)))
-            print(f"[bench] compile+warmup: {time.perf_counter() - t0:.1f}s",
-                  file=sys.stderr)
-            for i in range(iters):
+        codes, _ = phase("sampler compile+warmup", 480,
+                         lambda: sync_codes(sampler(params, ids, uncond,
+                                                    jax.random.key(2))))
+        _, _ = phase("decoder compile+warmup", 480,
+                     lambda: sync_px(decoder(vq_params,
+                                             jnp.asarray(codes, jnp.int32))))
+        for i in range(iters):
+            with _Watchdog(300):
                 t0 = time.perf_counter()
-                out = gen(params, vq_params, ids, uncond, jax.random.key(3 + i))
-                sync(out)
+                c = sampler(params, ids, uncond, jax.random.key(3 + i))
+                px = decoder(vq_params, c)
+                sync_px(px)
                 times.append(time.perf_counter() - t0)
-                print(f"[bench] iter {i}: {times[-1]:.2f}s", file=sys.stderr)
+            print(f"[bench] iter {i}: {times[-1]:.2f}s", file=sys.stderr)
     except TimeoutError:
         synced = False
-        print("[bench] device->host sync wedged (relay); reporting unsynced",
+        print("[bench] phase wedged or over budget; reporting what completed",
               file=sys.stderr)
 
     n_chips = jax.device_count()

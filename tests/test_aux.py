@@ -152,3 +152,28 @@ def test_config_system(tmp_path):
     flat = flatten_config(cfg)
     assert flat["a.b"] == 5 and flat["d.e"] == "hello"
     assert cfg.get("missing", 7) == 7
+
+
+def test_visualize_predictions_and_grid(tmp_path):
+    from unigen_tpu.models import magvit as MV
+    from unigen_tpu.models import unigen as U
+    from unigen_tpu.training.visualization import save_image_grid, visualize_predictions
+
+    cfg = U.UniGenConfig.tiny()
+    vq_cfg = MV.MagvitConfig.tiny(resolution=8, z_channels=5)
+    params = U.init(jax.random.key(0), cfg)
+    vq_params = MV.init(jax.random.key(1), vq_cfg)
+    rng = np.random.default_rng(0)
+    b, n, L = 2, cfg.num_vq_tokens, 26
+    px = jnp.asarray(rng.normal(size=(b, 8, 8, 3)), jnp.float32)
+    ids = rng.integers(3, 100, size=(b, L))
+    ids[:, -n - 2] = 1
+    ids[:, -n - 1:-1] = cfg.mask_token_id
+    ids[:, -1] = 2
+    trip = visualize_predictions(params, cfg, vq_params, vq_cfg, px,
+                                 jnp.asarray(ids), pad_id=0, soi_id=1, eoi_id=2)
+    assert trip.shape == (b, 8, 24, 3) and trip.dtype == np.uint8
+    out = str(tmp_path / "grid.png")
+    save_image_grid(trip, out, cols=1)
+    from PIL import Image
+    assert Image.open(out).size == (24, 16)
