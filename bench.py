@@ -151,6 +151,101 @@ def main(batch_size: int = 8, timesteps: int = 50, warmup: int = 1, iters: int =
     }))
 
 
+def bench_vqa(batch_size: int = 8, prompt_len: int = 600, max_new_tokens: int = 128):
+    """VQA decode throughput: prefix-LM cached decode over a SigLIP-sized prompt
+    (729 image patches + question ≈ 600-900 tokens). Reports tokens/sec/chip."""
+    import jax
+    import jax.numpy as jnp
+
+    from unigen_tpu.generation import mmu_generate
+    from unigen_tpu.models import unigen
+    from unigen_tpu.ops import masks as M
+
+    cfg = unigen.UniGenConfig.for_qwen25_15b()
+    params = jax.jit(lambda k: unigen.init(k, cfg))(jax.random.key(0))
+    rng = np.random.default_rng(0)
+    ids = jnp.asarray(rng.integers(10, 1000, size=(batch_size, prompt_len)))
+    ids = ids.at[:, 2].set(151665).at[:, 400].set(151666)  # soi .. eoi prefix block
+    prompt_lens = jnp.full((batch_size,), prompt_len)
+
+    def run(params, ids, key):
+        attn = M.create_attention_mask_for_mmu(ids, eoi_id=151666)
+        return mmu_generate(params, cfg, key, input_ids=ids, attention_mask=attn,
+                            prompt_len=prompt_lens, max_new_tokens=max_new_tokens,
+                            temperature=0.0)
+
+    fn = jax.jit(run)
+
+    def sync(x):
+        return np.asarray(x[:, ::16])
+
+    with _Watchdog(480):
+        t0 = time.perf_counter()
+        sync(fn(params, ids, jax.random.key(1)))
+        print(f"[bench] vqa compile+warmup: {time.perf_counter() - t0:.1f}s",
+              file=sys.stderr)
+    times = []
+    for i in range(3):
+        with _Watchdog(300):
+            t0 = time.perf_counter()
+            sync(fn(params, ids, jax.random.key(2 + i)))
+            times.append(time.perf_counter() - t0)
+        print(f"[bench] vqa iter {i}: {times[-1]:.2f}s", file=sys.stderr)
+    tps = batch_size * max_new_tokens / min(times)
+    print(json.dumps({"metric": "VQA decode tokens/sec/chip (cached prefix-LM)",
+                      "value": round(tps, 2), "unit": "tokens/sec/chip",
+                      "vs_baseline": None, "synced": True}))
+
+
+def bench_tokenizer(batch_size: int = 16):
+    """MAGViTv2 encode+decode throughput at 256px. Reports codes/sec/chip."""
+    import jax
+    import jax.numpy as jnp
+
+    from unigen_tpu.models import magvit
+
+    vq_cfg = magvit.MagvitConfig(dtype=jnp.bfloat16)
+    vq_params = jax.jit(lambda k: magvit.init(k, vq_cfg))(jax.random.key(0))
+    px = jax.random.uniform(jax.random.key(1), (batch_size, 256, 256, 3),
+                            jnp.bfloat16, -1, 1)
+
+    enc = jax.jit(lambda p, x: magvit.get_code(p, vq_cfg, x))
+    dec = jax.jit(lambda p, c: magvit.decode_code(p, vq_cfg, c))
+
+    with _Watchdog(480):
+        t0 = time.perf_counter()
+        codes = enc(vq_params, px)
+        _ = np.asarray(codes[:, ::16])
+        pix = dec(vq_params, codes)
+        _ = np.asarray(pix[:, ::64, ::64, 0])
+        print(f"[bench] tokenizer compile+warmup: {time.perf_counter() - t0:.1f}s",
+              file=sys.stderr)
+    results = {}
+    for name, fn, sync in (("encode", lambda: enc(vq_params, px),
+                            lambda o: np.asarray(o[:, ::16])),
+                           ("decode", lambda: dec(vq_params, codes),
+                            lambda o: np.asarray(o[:, ::64, ::64, 0]))):
+        times = []
+        for _ in range(3):
+            with _Watchdog(300):
+                t0 = time.perf_counter()
+                sync(fn())
+                times.append(time.perf_counter() - t0)
+        results[name] = batch_size * 256 / min(times)
+        print(f"[bench] tokenizer {name}: {min(times):.3f}s", file=sys.stderr)
+    print(json.dumps({"metric": "MAGViTv2 encode/decode codes/sec/chip @256px",
+                      "value": round(min(results.values()), 1),
+                      "unit": "codes/sec/chip", "vs_baseline": None,
+                      "encode_codes_per_sec": round(results["encode"], 1),
+                      "decode_codes_per_sec": round(results["decode"], 1),
+                      "synced": True}))
+
+
 if __name__ == "__main__":
-    bs = int(sys.argv[1]) if len(sys.argv) > 1 else 8
-    main(batch_size=bs)
+    args = sys.argv[1:]
+    if args and args[0] == "vqa":
+        bench_vqa(batch_size=int(args[1]) if len(args) > 1 else 8)
+    elif args and args[0] == "tokenizer":
+        bench_tokenizer(batch_size=int(args[1]) if len(args) > 1 else 16)
+    else:
+        main(batch_size=int(args[0]) if args else 8)

@@ -124,24 +124,9 @@ def _t2i_generate_full(params, cfg, key, input_ids, attention_mask, uncond_input
             cond, uncond = logits[:bsz], logits[bsz:]
             logits = guidance_scale * (cond - uncond) + uncond
 
-        probs = jax.nn.softmax(logits, axis=-1)
-        sampled = S.sample_categorical(k_sample, probs)                     # [B, N]
-        unknown = ids_cb == mask_id
-        sampled = jnp.where(unknown, sampled, ids_cb)
-
-        ratio = (s + 1).astype(jnp.float32) / timesteps
-        mask_ratio = noise_schedule(ratio)
-
-        selected = jnp.take_along_axis(probs, sampled[..., None], axis=-1)[..., 0]
-        selected = jnp.where(unknown, selected, jnp.finfo(jnp.float32).max)
-
-        mask_len = jnp.floor(n * mask_ratio)
-        mask_len = jnp.maximum(
-            1.0, jnp.minimum(unknown.sum(axis=-1, keepdims=True).astype(jnp.float32) - 1.0,
-                             mask_len))
-        temp = temp * (1.0 - ratio)  # compounding decay, as in the reference
-        masking = S.mask_by_random_topk(k_mask, mask_len, selected, temp)
-        new_ids = jnp.where(masking, mask_id, sampled)
+        new_ids, sampled, temp = _maskgit_update(
+            k_sample, k_mask, logits, ids_cb, s, temp, timesteps, n, mask_id,
+            noise_schedule)
         return (new_ids, temp, k), sampled
 
     init = (init_ids, jnp.asarray(temperature, jnp.float32), key)
@@ -151,15 +136,25 @@ def _t2i_generate_full(params, cfg, key, input_ids, attention_mask, uncond_input
 
 def _maskgit_update(k_sample, k_mask, logits, ids_cb, s, temp, timesteps, n,
                     mask_id, noise_schedule):
-    """One MaskGIT confidence re-masking step (shared by both t2i paths)."""
-    probs = jax.nn.softmax(logits, axis=-1)
-    sampled = S.sample_categorical(k_sample, probs)
+    """One MaskGIT confidence re-masking step (shared by both t2i paths).
+
+    Sampling runs directly on logits via Gumbel-max — draw-identical to
+    categorical-over-softmax (the row-wise logsumexp shift cancels under argmax)
+    while skipping the materialized [B, N, 8192] probability tensor.
+    """
+    # barrier: keeps XLA from fusing the CFG combine + head matmul + gumbel into
+    # one kernel whose stack tile overflows scoped VMEM at batch >= 8
+    logits = jax.lax.optimization_barrier(logits)
+    noise = S.gumbel_noise(k_sample, logits.shape, logits.dtype)
+    sampled = jnp.argmax(logits + noise, axis=-1)
     unknown = ids_cb == mask_id
     sampled = jnp.where(unknown, sampled, ids_cb)
 
     ratio = (s + 1).astype(jnp.float32) / timesteps
     mask_ratio = noise_schedule(ratio)
-    selected = jnp.take_along_axis(probs, sampled[..., None], axis=-1)[..., 0]
+    lse = jax.scipy.special.logsumexp(logits, axis=-1)
+    selected = jnp.exp(jnp.take_along_axis(logits, sampled[..., None], axis=-1)[..., 0]
+                       - lse)
     selected = jnp.where(unknown, selected, jnp.finfo(jnp.float32).max)
     mask_len = jnp.floor(n * mask_ratio)
     mask_len = jnp.maximum(
