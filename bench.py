@@ -40,7 +40,8 @@ class _Watchdog:
         signal.alarm(0)
 
 
-def main(batch_size: int = 8, timesteps: int = 50, warmup: int = 1, iters: int = 3):
+def main(batch_size: int = 8, timesteps: int = 50, warmup: int = 1, iters: int = 3,
+         quant: Optional[str] = None):
     import jax
     import jax.numpy as jnp
 
@@ -56,6 +57,11 @@ def main(batch_size: int = 8, timesteps: int = 50, warmup: int = 1, iters: int =
     # dispatches (matters on a 1-core host driving the chip)
     params = jax.jit(lambda k: unigen.init(k, cfg))(jax.random.key(0))
     jax.block_until_ready(params)
+    if quant == "int8":
+        from unigen_tpu.ops.quantization import quantize_unigen_params
+        params = jax.jit(quantize_unigen_params)(params)
+        jax.block_until_ready(params)
+        print("[bench] backbone quantized to int8 (W8A8)", file=sys.stderr)
     print(f"[bench] llm params init: {time.perf_counter() - t0:.1f}s", file=sys.stderr)
     t0 = time.perf_counter()
     vq_params = jax.jit(lambda k: magvit.init(k, vq_cfg))(jax.random.key(1))
@@ -142,8 +148,11 @@ def main(batch_size: int = 8, timesteps: int = 50, warmup: int = 1, iters: int =
         img_per_sec_per_chip = batch_size / best / n_chips
     else:
         img_per_sec_per_chip = 0.0
+    metric = "256px images/sec/chip (GenEval protocol: guidance 6, 50 steps)"
+    if quant:
+        metric += f" [{quant}]"
     print(json.dumps({
-        "metric": "256px images/sec/chip (GenEval protocol: guidance 6, 50 steps)",
+        "metric": metric,
         "value": round(img_per_sec_per_chip, 4),
         "unit": "images/sec/chip",
         "vs_baseline": round(img_per_sec_per_chip / 16.0, 4),
@@ -248,4 +257,6 @@ if __name__ == "__main__":
     elif args and args[0] == "tokenizer":
         bench_tokenizer(batch_size=int(args[1]) if len(args) > 1 else 16)
     else:
-        main(batch_size=int(args[0]) if args else 8)
+        quant = "int8" if "int8" in args else None
+        nums = [a for a in args if a.isdigit()]
+        main(batch_size=int(nums[0]) if nums else 8, quant=quant)

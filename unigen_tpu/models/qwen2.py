@@ -139,6 +139,9 @@ def rms_norm(x: Array, scale: Array, eps: float) -> Array:
 
 
 def _dense(p, x):
+    if "kernel_int8" in p:
+        from ..ops.quantization import dense_int8
+        return dense_int8(p, x)
     y = x @ p["kernel"]
     if "bias" in p:
         y = y + p["bias"]
