@@ -259,4 +259,4 @@ if __name__ == "__main__":
     else:
         quant = "int8" if "int8" in args else None
         nums = [a for a in args if a.isdigit()]
-        main(batch_size=int(nums[0]) if nums else 8, quant=quant)
+        main(batch_size=int(nums[0]) if nums else 4, quant=quant)

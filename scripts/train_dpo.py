@@ -1,0 +1,112 @@
+#!/usr/bin/env python
+"""DPO training entry point (the reference's training/train_dpo.py).
+
+Usage:
+  python scripts/train_dpo.py config=configs/unigen_1_5b/unigen_dpo.yaml \
+      dataset.params.dpo_data_path=pairs.json dataset.params.dpo_image_root=imgs/
+Synthetic smoke: dataset.synthetic=true
+"""
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from unigen_tpu import launch
+    launch.apply_platform_env()
+    from unigen_tpu.training import lr_schedules as LRS
+    from unigen_tpu.training.dpo import DPOConfig, make_dpo_step
+    from unigen_tpu.training.optimizer import make_optimizer
+    from unigen_tpu.training.train_step import init_train_state
+    from unigen_tpu.utils import checkpoint as CK
+    from unigen_tpu.utils.configuration import initialize_config
+    from unigen_tpu.utils.logging import MetricLogger, get_logger
+
+    logger = get_logger("train_dpo")
+    overrides = sys.argv[1:]
+    cfg_path = next((o.split("=", 1)[1] for o in overrides if o.startswith("config=")),
+                    None)
+    config = initialize_config(cfg_path, overrides)
+
+    tokenizer = launch.load_tokenizer(config)
+    prompting = launch.build_prompting(config, tokenizer)
+    params, cfg = launch.build_unigen(config, prompting)
+    ref_params = jax.tree_util.tree_map(jnp.copy, params)  # frozen reference policy
+    vq_params, vq_cfg = launch.build_vq(config)
+
+    tr = config.training
+    n = cfg.num_vq_tokens
+    b = tr.batch_size_t2i
+
+    schedule = LRS.get_scheduler(
+        config.lr_scheduler.scheduler,
+        num_warmup_steps=config.lr_scheduler.params.warmup_steps,
+        num_training_steps=tr.get("max_train_steps", 10000))
+    opt = config.optimizer.params
+    tx = make_optimizer(params, float(opt.learning_rate), schedule,
+                        beta1=float(opt.beta1), beta2=float(opt.beta2),
+                        epsilon=float(opt.epsilon),
+                        weight_decay=float(opt.weight_decay),
+                        max_grad_norm=tr.get("max_grad_norm"))
+    dcfg = DPOConfig(beta=tr.get("beta", 0.1), dpo_coef=tr.get("dpo_coef", 1.0),
+                     min_masking_rate=tr.get("min_masking_rate", 0.0),
+                     pad_id=prompting.pad_id,
+                     soi_id=prompting.sptids_dict["<|soi|>"],
+                     eoi_id=prompting.sptids_dict["<|eoi|>"],
+                     max_grad_norm=tr.get("max_grad_norm"))
+    step = jax.jit(make_dpo_step(cfg, vq_cfg, tx, dcfg))
+    state = init_train_state(params, tx)
+    metrics_log = MetricLogger(config.experiment.output_dir)
+
+    def batches():
+        if config.dataset.get("synthetic", False):
+            rng = np.random.default_rng(0)
+            res = config.dataset.preprocessing.resolution
+            while True:
+                yield {"batch_prompt_list": ["a red cat"] * b,
+                       "batch_chosen_image": rng.normal(size=(b, res, res, 3)).astype(np.float32),
+                       "batch_rejected_image": rng.normal(size=(b, res, res, 3)).astype(np.float32)}
+        else:
+            from unigen_tpu.data.dpo_data import DPODataset
+            ds = DPODataset([config.dataset.params.dpo_data_path],
+                            config.dataset.params.dpo_image_root,
+                            per_device_batch_size=b,
+                            resolution=config.dataset.preprocessing.resolution)
+            for epoch in range(tr.get("num_epoch", 1)):
+                yield from iter(ds)
+
+    key = jax.random.key(tr.get("seed", 10084))
+    max_steps = tr.get("max_train_steps", None)
+    placeholder = np.zeros((b, n), np.int64)
+    global_step = 0
+    for batch in batches():
+        if max_steps and global_step >= max_steps:
+            break
+        ids, _, labels = prompting((batch["batch_prompt_list"], placeholder,
+                                    placeholder), "t2i")
+        key, sub = jax.random.split(key)
+        device_batch = {
+            "template": jnp.asarray(ids), "labels": jnp.asarray(labels),
+            "chosen_pixels": jnp.asarray(batch["batch_chosen_image"]),
+            "rejected_pixels": jnp.asarray(batch["batch_rejected_image"]),
+        }
+        state, metrics = step(state, ref_params, vq_params, device_batch, sub)
+        global_step += 1
+        if global_step % config.experiment.get("log_every", 20) == 0:
+            metrics_log.log(metrics, global_step)
+            logger.info(f"step {global_step}: dpo_loss={float(metrics['loss']):.4f} "
+                        f"acc={float(metrics['reward_accuracy']):.3f}")
+        if global_step % config.experiment.get("save_every", 500) == 0:
+            CK.save_checkpoint(state, config.experiment.output_dir, global_step,
+                               unwrapped_params=state.params)
+    CK.save_checkpoint(state, config.experiment.output_dir, global_step,
+                       unwrapped_params=state.params)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,66 @@
+"""Trainer-loop unit test: synthetic flows, resume, metrics file."""
+import json
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from unigen_tpu.models import magvit as MV
+from unigen_tpu.models import unigen as U
+from unigen_tpu.prompting import UniPrompting
+from unigen_tpu.training import lr_schedules as LRS
+from unigen_tpu.training.optimizer import make_optimizer
+from unigen_tpu.training.train_step import TrainStepConfig
+from unigen_tpu.training.trainer import Trainer, TrainerConfig
+
+from test_prompting import MockTokenizer, SPECIALS
+
+
+def _flows(b, res, n_batches):
+    rng = np.random.default_rng(0)
+    for i in range(n_batches):
+        yield {
+            "t2i_flow": {"images": rng.normal(size=(b, res, res, 3)).astype(np.float32),
+                         "input_ids": ["a cat", "a dog"][:b] * (b // min(b, 2))},
+            "lm_flow": {"input_ids": [f"doc {i}"] * b},
+            "mmu_flow": {"images": rng.normal(size=(b, res, res, 3)).astype(np.float32),
+                         "input_ids": ["what is it?"] * b},
+        }
+
+
+def _build(tmp_path, max_steps=3):
+    tok = MockTokenizer()
+    prompting = UniPrompting(tok, special_tokens=SPECIALS, max_seq_len=40,
+                             cond_dropout_prob=0.1)
+    cfg = U.UniGenConfig.tiny(text_vocab_len=len(tok))
+    vq_cfg = MV.MagvitConfig.tiny(resolution=8, z_channels=5)
+    params = U.init(jax.random.key(0), cfg)
+    vq_params = MV.init(jax.random.key(1), vq_cfg)
+    schedule = LRS.get_scheduler("constant")
+    tx = make_optimizer(params, 1e-3, schedule)
+    tcfg = TrainStepConfig(batch_size_t2i=2, batch_size_lm=2, batch_size_mmu=2,
+                           pad_id=prompting.pad_id,
+                           soi_id=prompting.sptids_dict["<|soi|>"],
+                           eoi_id=prompting.sptids_dict["<|eoi|>"])
+    trainer_cfg = TrainerConfig(output_dir=str(tmp_path), max_train_steps=max_steps,
+                                log_every=1, save_every=2, seed=0)
+    return Trainer(cfg, vq_cfg, tcfg, trainer_cfg, prompting, tx, params, vq_params)
+
+
+def test_trainer_runs_saves_and_resumes(tmp_path):
+    trainer = _build(tmp_path, max_steps=3)
+    state = trainer.train(_flows(2, 8, 10))
+    assert int(state.step) == 3
+    ckpts = [d for d in os.listdir(tmp_path) if d.startswith("checkpoint")]
+    assert "checkpoint-2" in ckpts and "checkpoint-3" in ckpts
+    assert os.path.isdir(os.path.join(tmp_path, "checkpoint-3", "unwrapped_model"))
+    with open(os.path.join(tmp_path, "metrics.jsonl")) as f:
+        logs = [json.loads(l) for l in f]
+    assert any("loss" in l and np.isfinite(l["loss"]) for l in logs)
+
+    # a fresh trainer resumes from checkpoint-3 and continues to 5
+    trainer2 = _build(tmp_path, max_steps=5)
+    assert trainer2.global_step == 3
+    state2 = trainer2.train(_flows(2, 8, 10))
+    assert int(state2.step) == 5
