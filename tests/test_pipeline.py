@@ -156,3 +156,32 @@ def test_run_cot_best_of_n(pipe):
     assert len(res) == 1
     assert res[0]["selected"].shape == (2, 8, 8, 3)
     assert len(res[0]["ratings"]) == 3  # 1 question x 3 candidates
+
+
+def test_understand_naflex_tower():
+    """Pipeline VQA through the SigLIP2-NaFlex tower with ragged image sizes."""
+    from unigen_tpu.models import siglip2 as SG2
+    tok = DecodableMockTokenizer()
+    prompting = UniPrompting(tok, special_tokens=SPECIALS, max_seq_len=64,
+                             cond_dropout_prob=0.0)
+    cfg = U.UniGenConfig.tiny(text_vocab_len=len(tok), w_und_encoder=True,
+                              mm_input_dim=32)
+    vq_cfg = MV.MagvitConfig.tiny(resolution=8, z_channels=5)
+    vs_cfg = SG2.Siglip2Config.tiny(hidden_size=32, num_patches=16, patch_size=4)
+    pipe2 = UniGenPipeline(U.init(jax.random.key(0), cfg), cfg,
+                           MV.init(jax.random.key(1), vq_cfg), vq_cfg, prompting,
+                           vision_params=SG2.init(jax.random.key(2), vs_cfg),
+                           vision_cfg=vs_cfg)
+    px = jax.random.uniform(jax.random.key(3), (2, 12, 8, 3), minval=-1, maxval=1)
+    toks = pipe2.understand(px, ["what?", "color?"], jax.random.key(4),
+                            max_new_tokens=3)
+    assert toks.shape == (2, 3)
+    assert (np.asarray(toks) >= 0).all()
+
+
+def test_run_cot_with_questions_map(pipe):
+    qmap = {"a strange prompt": ["Is there a cup?", "Is it blue?"]}
+    res = COT.run_cot(pipe, ["a strange prompt"], jax.random.key(0), n_samples=2,
+                      topk=1, guidance_scale=0.0, timesteps=1, eval_text_len=6,
+                      style="rule", max_new_tokens=2, questions_map=qmap)
+    assert len(res[0]["ratings"]) == 4  # 2 questions x 2 candidates

@@ -196,7 +196,26 @@ class UniGenPipeline:
         ``pixels``: [B, 384, 384, 3] normalized with mean=std=0.5.
         """
         assert self.vision_params is not None, "pipeline built without a vision tower"
-        feats = _vision_forward(self.vision_params, self.vision_cfg, pixels)
+        from .models import siglip2
+        if isinstance(self.vision_cfg, siglip2.Siglip2Config):
+            # NaFlex path: patchify each image at its native aspect, pad to the
+            # batch max (reference lmms adapter NaFlex branch, :406-409)
+            patches, shapes = [], []
+            for img in np.asarray(pixels):
+                pt, hw = siglip2.patchify(img, self.vision_cfg.patch_size)
+                patches.append(pt)
+                shapes.append(hw)
+            maxn = max(p.shape[0] for p in patches)
+            pix = np.zeros((len(patches), maxn, patches[0].shape[-1]), np.float32)
+            att = np.zeros((len(patches), maxn), np.int32)
+            for i, pt in enumerate(patches):
+                pix[i, :pt.shape[0]] = pt
+                att[i, :pt.shape[0]] = 1
+            feats = siglip2.forward(self.vision_params, self.vision_cfg,
+                                    jnp.asarray(pix), jnp.asarray(att),
+                                    np.asarray(shapes))
+        else:
+            feats = _vision_forward(self.vision_params, self.vision_cfg, pixels)
         img_embeds = _mm_project(self.params, feats)
         b, p, _ = img_embeds.shape
 
