@@ -177,3 +177,10 @@ def test_visualize_predictions_and_grid(tmp_path):
     save_image_grid(trip, out, cols=1)
     from PIL import Image
     assert Image.open(out).size == (24, 16)
+
+
+def test_multihost_single_host_identity():
+    from unigen_tpu.utils.multihost import broadcast_object, gather_objects, sync_hosts
+    assert gather_objects({"a": 1}) == [{"a": 1}]
+    assert broadcast_object([1, 2]) == [1, 2]
+    sync_hosts()  # no-op single host
