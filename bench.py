@@ -160,7 +160,8 @@ def main(batch_size: int = 8, timesteps: int = 50, warmup: int = 1, iters: int =
     }))
 
 
-def bench_vqa(batch_size: int = 8, prompt_len: int = 600, max_new_tokens: int = 128):
+def bench_vqa(batch_size: int = 8, prompt_len: int = 600, max_new_tokens: int = 128,
+              quant: Optional[str] = None):
     """VQA decode throughput: prefix-LM cached decode over a SigLIP-sized prompt
     (729 image patches + question ≈ 600-900 tokens). Reports tokens/sec/chip."""
     import jax
@@ -172,6 +173,10 @@ def bench_vqa(batch_size: int = 8, prompt_len: int = 600, max_new_tokens: int = 
 
     cfg = unigen.UniGenConfig.for_qwen25_15b()
     params = jax.jit(lambda k: unigen.init(k, cfg))(jax.random.key(0))
+    if quant == "int8":
+        from unigen_tpu.ops.quantization import quantize_unigen_params
+        params = jax.jit(quantize_unigen_params)(params)
+        print("[bench] vqa backbone quantized to int8", file=sys.stderr)
     rng = np.random.default_rng(0)
     ids = jnp.asarray(rng.integers(10, 1000, size=(batch_size, prompt_len)))
     ids = ids.at[:, 2].set(151665).at[:, 400].set(151666)  # soi .. eoi prefix block
@@ -201,7 +206,10 @@ def bench_vqa(batch_size: int = 8, prompt_len: int = 600, max_new_tokens: int = 
             times.append(time.perf_counter() - t0)
         print(f"[bench] vqa iter {i}: {times[-1]:.2f}s", file=sys.stderr)
     tps = batch_size * max_new_tokens / min(times)
-    print(json.dumps({"metric": "VQA decode tokens/sec/chip (cached prefix-LM)",
+    metric = "VQA decode tokens/sec/chip (cached prefix-LM)"
+    if quant:
+        metric += f" [{quant}]"
+    print(json.dumps({"metric": metric,
                       "value": round(tps, 2), "unit": "tokens/sec/chip",
                       "vs_baseline": None, "synced": True}))
 
@@ -253,7 +261,9 @@ def bench_tokenizer(batch_size: int = 16):
 if __name__ == "__main__":
     args = sys.argv[1:]
     if args and args[0] == "vqa":
-        bench_vqa(batch_size=int(args[1]) if len(args) > 1 else 8)
+        nums = [a for a in args[1:] if a.isdigit()]
+        bench_vqa(batch_size=int(nums[0]) if nums else 8,
+                  quant="int8" if "int8" in args else None)
     elif args and args[0] == "tokenizer":
         bench_tokenizer(batch_size=int(args[1]) if len(args) > 1 else 16)
     else:

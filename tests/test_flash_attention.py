@@ -82,3 +82,27 @@ def test_qwen2_forward_with_flash_kernel():
     h_xla, _ = Q.forward(params, cfg, input_ids=ids, meta=meta, use_flash=False)
     np.testing.assert_allclose(np.asarray(h_flash), np.asarray(h_xla),
                                atol=1e-5, rtol=1e-5)
+
+
+def test_flash_attention_gradients_match_xla():
+    """Custom VJP: grads through the kernel == grads through the XLA path."""
+    b, l, h, kvh, dh = 1, 8, 4, 2, 8
+    rng = np.random.default_rng(6)
+    q = jnp.asarray(rng.normal(size=(b, l, h, dh)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(b, l, kvh, dh)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(b, l, kvh, dh)), jnp.float32)
+    meta = M.AttnMeta(pad=jnp.zeros((b, l), bool),
+                      bidir_q=jnp.zeros((b, l), bool).at[:, 3:6].set(True),
+                      bidir_k=jnp.zeros((b, l), bool))
+    bits = pack_meta(meta)
+
+    def loss_flash(q, k, v):
+        return (flash_attention(q, k, v, bits, None, 8, True) ** 2).sum()
+
+    def loss_xla(q, k, v):
+        return (dot_product_attention(q, k, v, meta=meta) ** 2).sum()
+
+    gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    gx = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(gf, gx):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=1e-5, rtol=1e-5)

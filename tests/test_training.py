@@ -153,3 +153,20 @@ def test_checkpoint_roundtrip(tmp_path):
     chex = pytest.importorskip("chex")
     chex.assert_trees_all_close(restored.params, state.params)
     assert int(restored.step) == int(state.step)
+
+
+def test_flash_attention_train_step_matches_dense():
+    """The fused 3-task step under AttnMeta+kernel == dense-mask step (losses)."""
+    cfg, vq_cfg, params, vq_params, mk_batch, tx, tcfg, step_fn = _tiny_setup()
+    from unigen_tpu.training.train_step import make_train_step
+    import dataclasses
+    tcfg_flash = dataclasses.replace(tcfg, use_flash_attention=True)
+    step_flash = jax.jit(make_train_step(cfg, vq_cfg, tx, tcfg_flash))
+    step_dense = jax.jit(step_fn)
+    state = init_train_state(params, tx)
+    batch = mk_batch()
+    _, m_dense = step_dense(state, vq_params, batch, jax.random.key(7))
+    _, m_flash = step_flash(state, vq_params, batch, jax.random.key(7))
+    for k in ("loss", "loss_t2i", "loss_lm", "loss_mmu"):
+        np.testing.assert_allclose(float(m_dense[k]), float(m_flash[k]),
+                                   rtol=1e-4, atol=1e-5)

@@ -175,6 +175,7 @@ def forward(
     input_ids: Optional[Array] = None,
     input_embeddings: Optional[Array] = None,
     attention_mask: Optional[Array] = None,   # [B,1,L,L] bool
+    attn_meta=None,                           # ops.masks.AttnMeta (flash path)
     labels: Optional[Array] = None,
     batch_size_t2i: int = 0,
     batch_size_lm: int = 0,
@@ -204,7 +205,7 @@ def forward(
                 (0, input_embeddings.shape[1] - n - 1, 0))
 
     hidden, _ = qwen2.forward(params["llm"], cfg.llm, inputs_embeds=input_embeddings,
-                              mask=attention_mask, remat=remat)
+                              mask=attention_mask, meta=attn_meta, remat=remat)
 
     if use_gen:
         img_logits = hidden[:batch_size_t2i] @ params["img_head"]["kernel"].astype(hidden.dtype)

@@ -76,7 +76,18 @@ def _attn_kernel(meta_q_ref, meta_k_ref, q_ref, k_ref, v_ref, o_ref, *, scale,
         preferred_element_type=jnp.float32).astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("scale", "block_q", "interpret"))
+def _xla_reference(q, k, v, meta_bits, scale):
+    """Mask-metadata attention in plain XLA — used as the VJP for the kernel
+    (backward recomputes through this; its forward math matches the kernel)."""
+    from .attention import dot_product_attention
+    pad = (meta_bits & _PAD_BIT) != 0
+    bidir_q = (meta_bits & _BIDIRQ_BIT) != 0
+    bidir_k = (meta_bits & _BIDIRK_BIT) != 0
+    meta = AttnMeta(pad=pad, bidir_q=bidir_q, bidir_k=bidir_k)
+    return dot_product_attention(q, k, v, meta=meta, scale=scale)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
 def flash_attention(
     q: Array,            # [B, Lq, H, Dh]
     k: Array,            # [B, Lk, KVH, Dh]
@@ -86,7 +97,33 @@ def flash_attention(
     block_q: int = 128,
     interpret: bool = False,
 ) -> Array:
-    """Self-attention with kernel-side omni masking. Returns [B, Lq, H, Dh]."""
+    """Self-attention with kernel-side omni masking. Returns [B, Lq, H, Dh].
+
+    Differentiable: forward runs the Pallas kernel; the backward pass recomputes
+    through the numerically-matching XLA path (backward attention is
+    matmul-dominated, which XLA already schedules well on the MXU)."""
+    return _flash_attention_impl(q, k, v, meta_bits, scale, block_q, interpret)
+
+
+def _flash_fwd(q, k, v, meta_bits, scale, block_q, interpret):
+    out = _flash_attention_impl(q, k, v, meta_bits, scale, block_q, interpret)
+    return out, (q, k, v, meta_bits)
+
+
+def _flash_bwd(scale, block_q, interpret, residuals, g):
+    q, k, v, meta_bits = residuals
+    _, vjp = jax.vjp(lambda q_, k_, v_: _xla_reference(q_, k_, v_, meta_bits, scale),
+                     q, k, v)
+    dq, dk, dv = vjp(g)
+    return dq, dk, dv, None
+
+
+flash_attention.defvjp(_flash_fwd, _flash_bwd)
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "block_q", "interpret"))
+def _flash_attention_impl(q, k, v, meta_bits, scale=None, block_q=128,
+                          interpret=False) -> Array:
     b, lq, h, dh = q.shape
     lk, kvh = k.shape[1], k.shape[2]
     if scale is None:

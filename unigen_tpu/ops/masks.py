@@ -57,6 +57,21 @@ def image_segments(input_ids: Array, soi_id: int, eoi_id: int) -> Array:
     return (cum_soi > cum_eoi) | is_soi | is_eoi
 
 
+def lm_attn_meta(input_ids: Array, pad_id: int) -> AttnMeta:
+    """Plain causal with pad exclusion as metadata."""
+    pad = input_ids == pad_id
+    z = jnp.zeros_like(pad)
+    return AttnMeta(pad=pad, bidir_q=z, bidir_k=z)
+
+
+def concat_meta(*metas: AttnMeta) -> AttnMeta:
+    """Concatenate per-task metadata along the batch dim — the fused multi-task
+    batch (t2i omni + lm causal + mmu prefix) runs under ONE attention kernel."""
+    return AttnMeta(pad=jnp.concatenate([m.pad for m in metas], axis=0),
+                    bidir_q=jnp.concatenate([m.bidir_q for m in metas], axis=0),
+                    bidir_k=jnp.concatenate([m.bidir_k for m in metas], axis=0))
+
+
 def t2i_attn_meta(input_ids: Array, pad_id: int, soi_id: int, eoi_id: int) -> AttnMeta:
     """Metadata equivalent of the t2i omni mask: causal text, bidirectional image."""
     in_img = image_segments(input_ids, soi_id, eoi_id)

@@ -60,6 +60,7 @@ class TrainStepConfig:
     eoi_id: int = 2
     grad_accum_steps: int = 1
     remat: bool = False
+    use_flash_attention: bool = False  # AttnMeta + Pallas kernel instead of dense masks
 
 
 def init_train_state(params: PyTree, tx: optax.GradientTransformation) -> TrainState:
@@ -91,7 +92,8 @@ def make_train_step(
     schedule = S.get_mask_schedule(tcfg.mask_schedule)
 
     def build_inputs(vq_params, batch, key):
-        parts, labels, masks = [], [], []
+        parts, labels, masks, metas = [], [], [], []
+        use_meta = tcfg.use_flash_attention and not tcfg.use_causal_mask
         mask_prob = jnp.zeros((max(tcfg.batch_size_t2i, 1),), jnp.float32)
 
         if tcfg.batch_size_t2i > 0:
@@ -122,43 +124,51 @@ def make_train_step(
 
             ids = _splice(batch["t2i_template"], img_inputs, batch["t2i_template"].shape[1] - n - 1)
             labs = _splice(batch["t2i_labels"], img_labels, batch["t2i_labels"].shape[1] - n - 1)
-            if tcfg.use_causal_mask:
-                att = M.causal_mask_from_attention((ids != tcfg.pad_id).astype(jnp.int32))
+            if use_meta:
+                metas.append(M.t2i_attn_meta(ids, tcfg.pad_id, tcfg.soi_id, tcfg.eoi_id))
+            elif tcfg.use_causal_mask:
+                masks.append(M.causal_mask_from_attention((ids != tcfg.pad_id).astype(jnp.int32)))
             else:
-                att = M.create_attention_mask_predict_next(
-                    ids, tcfg.pad_id, tcfg.soi_id, tcfg.eoi_id, rm_pad_in_image=True)
+                masks.append(M.create_attention_mask_predict_next(
+                    ids, tcfg.pad_id, tcfg.soi_id, tcfg.eoi_id, rm_pad_in_image=True))
             parts.append(ids)
             labels.append(labs)
-            masks.append(att)
 
         if tcfg.batch_size_lm > 0:
             ids = batch["lm_ids"]
-            att = M.causal_mask_from_attention((ids != tcfg.pad_id).astype(jnp.int32))
+            if use_meta:
+                metas.append(M.lm_attn_meta(ids, tcfg.pad_id))
+            else:
+                masks.append(M.causal_mask_from_attention(
+                    (ids != tcfg.pad_id).astype(jnp.int32)))
             parts.append(ids)
             labels.append(batch["lm_labels"])
-            masks.append(att)
 
         if tcfg.batch_size_mmu > 0:
             codes = magvit.get_code(vq_params, vq_cfg, batch["mmu_pixels"])
             img = codes + cfg.text_vocab_len
             ids = _splice(batch["mmu_template"], img, 3)
-            if tcfg.use_causal_mask:
-                att = M.causal_mask_from_attention((ids != tcfg.pad_id).astype(jnp.int32))
+            if use_meta:
+                metas.append(M.mmu_attn_meta(ids, tcfg.pad_id, tcfg.soi_id, tcfg.eoi_id))
+            elif tcfg.use_causal_mask:
+                masks.append(M.causal_mask_from_attention(
+                    (ids != tcfg.pad_id).astype(jnp.int32)))
             else:
-                att = M.create_attention_mask_for_mmu(ids, tcfg.eoi_id)
+                masks.append(M.create_attention_mask_for_mmu(ids, tcfg.eoi_id))
             parts.append(ids)
             labels.append(batch["mmu_labels"])
-            masks.append(att)
 
         input_ids = jnp.concatenate(parts, axis=0)
         label_ids = jnp.concatenate(labels, axis=0)
-        attn = jnp.concatenate(masks, axis=0)
-        return input_ids, label_ids, attn, mask_prob
+        attn = jnp.concatenate(masks, axis=0) if masks else None
+        meta = M.concat_meta(*metas) if metas else None
+        return input_ids, label_ids, attn, meta, mask_prob
 
     def loss_fn(params, vq_params, batch, key):
-        input_ids, label_ids, attn, mask_prob = build_inputs(vq_params, batch, key)
+        input_ids, label_ids, attn, meta, mask_prob = build_inputs(vq_params, batch, key)
         _, lt, ll, lm = unigen.forward(
-            params, cfg, input_ids=input_ids, attention_mask=attn, labels=label_ids,
+            params, cfg, input_ids=input_ids, attention_mask=attn, attn_meta=meta,
+            labels=label_ids,
             batch_size_t2i=tcfg.batch_size_t2i, batch_size_lm=tcfg.batch_size_lm,
             batch_size_mmu=tcfg.batch_size_mmu, t2i_mode=tcfg.t2i_gen_mode,
             remat=tcfg.remat)
