@@ -1,0 +1,164 @@
+#!/usr/bin/env python
+"""SFT training entry point (the reference's training/train_w_clip_vit.py):
+t2i + lm + continuous-SigLIP mmu conversations.
+
+Usage:
+  python scripts/train_sft.py config=configs/unigen_1_5b/unigen_sft.yaml \
+      dataset.params.llava_data_paths='["llava.json"]' \
+      dataset.params.llava_image_root=imgs/
+Synthetic smoke: dataset.synthetic=true
+"""
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from unigen_tpu import launch
+    launch.apply_platform_env()
+    from unigen_tpu.training import lr_schedules as LRS
+    from unigen_tpu.training.optimizer import make_optimizer
+    from unigen_tpu.training.sft import SFTStepConfig, make_sft_train_step
+    from unigen_tpu.training.train_step import init_train_state
+    from unigen_tpu.utils import checkpoint as CK
+    from unigen_tpu.utils.configuration import initialize_config
+    from unigen_tpu.utils.logging import MetricLogger, get_logger
+
+    logger = get_logger("train_sft")
+    overrides = sys.argv[1:]
+    cfg_path = next((o.split("=", 1)[1] for o in overrides if o.startswith("config=")),
+                    None)
+    config = initialize_config(cfg_path, overrides)
+
+    tokenizer = launch.load_tokenizer(config)
+    prompting = launch.build_prompting(config, tokenizer)
+    params, cfg = launch.build_unigen(config, prompting)
+    vq_params, vq_cfg = launch.build_vq(config)
+    vs_params, vs_cfg = launch.build_vision_tower(config)
+    assert vs_cfg is not None, "SFT needs model.vision_tower.name"
+
+    tr = config.training
+    schedule = LRS.get_scheduler(
+        config.lr_scheduler.scheduler,
+        num_warmup_steps=config.lr_scheduler.params.warmup_steps,
+        num_training_steps=tr.max_train_steps)
+    opt = config.optimizer.params
+    lr_mapper = config.model.get("lr_mapper", None)
+    tunable = config.model.get("mm_tunable_parts", None)
+    tx = make_optimizer(params, float(opt.learning_rate), schedule,
+                        beta1=float(opt.beta1), beta2=float(opt.beta2),
+                        epsilon=float(opt.epsilon),
+                        weight_decay=float(opt.weight_decay),
+                        max_grad_norm=tr.get("max_grad_norm"),
+                        tunable_parts=tunable.split(",") if isinstance(tunable, str)
+                        else tunable,
+                        lr_mapper=dict(lr_mapper) if lr_mapper else None)
+    tcfg = SFTStepConfig(
+        batch_size_t2i=tr.batch_size_t2i, batch_size_lm=tr.batch_size_lm,
+        batch_size_mmu=tr.batch_size_mmu,
+        t2i_coeff=tr.get("t2i_coeff", 1.0), lm_coeff=tr.get("lm_coeff", 0.1),
+        mmu_coeff=tr.get("mmu_coeff", 1.0),
+        min_masking_rate=tr.get("min_masking_rate", 0.0),
+        max_grad_norm=tr.get("max_grad_norm"), pad_id=prompting.pad_id,
+        soi_id=prompting.sptids_dict["<|soi|>"],
+        eoi_id=prompting.sptids_dict["<|eoi|>"],
+        n_grid=tr.get("n_grid", 0),
+        remat=config.model.get("gradient_checkpointing", False))
+    step = jax.jit(make_sft_train_step(cfg, vq_cfg, vs_cfg, tx, tcfg))
+    state = init_train_state(params, tx)
+    metrics_log = MetricLogger(config.experiment.output_dir)
+
+    res = config.dataset.preprocessing.resolution
+    vres = vs_cfg.image_size * (tcfg.n_grid if tcfg.n_grid else 1)
+    n = cfg.num_vq_tokens
+
+    def batches():
+        if config.dataset.get("synthetic", False):
+            rng = np.random.default_rng(0)
+            bt, bl, bm = tr.batch_size_t2i, tr.batch_size_lm, tr.batch_size_mmu
+            tok = prompting.text_tokenizer
+            while True:
+                conv = [{"from": "human", "value": "what is this?"},
+                        {"from": "gpt", "value": "a cat"}]
+                from unigen_tpu.data.llava import collate_batch, preprocess_qwen
+                proc = preprocess_qwen([conv] * bm, tok)
+                samples = [{"input_ids": proc["input_ids"][i],
+                            "labels": proc["labels"][i],
+                            "image": rng.normal(size=(vres, vres, 3)).astype(np.float32)}
+                           for i in range(bm)]
+                mmu = collate_batch(samples, prompting.pad_id, max_length=64)
+                yield {
+                    "t2i": {"images": rng.normal(size=(bt, res, res, 3)).astype(np.float32),
+                            "texts": ["a red cat"] * bt},
+                    "lm": {"texts": ["some document"] * bl},
+                    "mmu": mmu,
+                }
+        else:
+            from unigen_tpu.data.combined import combined_loader
+            from unigen_tpu.data.llava import LlavaDataset
+            from unigen_tpu.data.text2image import Text2ImageDataset
+            flows = {
+                "t2i": ({"images": b["images"], "texts": b["input_ids"]}
+                        for b in Text2ImageDataset(
+                            config.dataset.params.train_t2i_shards_path_or_url,
+                            per_device_batch_size=tr.batch_size_t2i, resolution=res)),
+                "mmu": iter(LlavaDataset(
+                    config.dataset.params.llava_data_paths,
+                    config.dataset.params.llava_image_root, tokenizer,
+                    per_device_batch_size=tr.batch_size_mmu, visual_mode="siglip")),
+            }
+            for b in combined_loader(flows):
+                yield {"t2i": b["t2i"], "mmu": b["mmu"],
+                       "lm": {"texts": [""] * tr.batch_size_lm}}
+
+    key = jax.random.key(tr.get("seed", 10084))
+    global_step = 0
+    placeholder = np.zeros((tr.batch_size_t2i, n), np.int64)
+    for fb in batches():
+        if global_step >= tr.max_train_steps:
+            break
+        ids, _, labels = prompting((fb["t2i"]["texts"], placeholder, placeholder), "t2i")
+        lm_ids, _, lm_labels = prompting((fb["lm"]["texts"], prompting.max_seq_len), "lm")
+        mmu = fb["mmu"]
+        b = mmu["input_ids"].shape[0]
+        head = [prompting.sptids_dict[t] for t in
+                (("<|mmu|>", "<|im_start|>", "<|soi|>") if prompting.task_token_first
+                 else ("<|im_start|>", "<|mmu|>", "<|soi|>"))]
+        part1 = np.tile(np.asarray(head, np.int64), (b, 1))
+        part2 = np.concatenate([np.full((b, 1), prompting.sptids_dict["<|eoi|>"]),
+                                mmu["input_ids"][:, 1:]], axis=1)
+        p_tokens = (vs_cfg.image_size // vs_cfg.patch_size) ** 2
+        if tcfg.n_grid:
+            p_tokens *= 1 + tcfg.n_grid ** 2
+        mmu_labels = np.concatenate([np.full((b, 3 + p_tokens + 1), -100),
+                                     mmu["labels"][:, 1:]], axis=1)
+        prompt_len = np.full((b,), part1.shape[1] + p_tokens + part2.shape[1])
+        key, sub = jax.random.split(key)
+        device_batch = {
+            "t2i_template": jnp.asarray(ids), "t2i_labels": jnp.asarray(labels),
+            "t2i_pixels": jnp.asarray(fb["t2i"]["images"]),
+            "lm_ids": jnp.asarray(lm_ids), "lm_labels": jnp.asarray(lm_labels),
+            "mmu_part1": jnp.asarray(part1), "mmu_part2": jnp.asarray(part2),
+            "mmu_labels": jnp.asarray(mmu_labels),
+            "mmu_pixels": jnp.asarray(mmu["images"]),
+            "mmu_prompt_len": jnp.asarray(prompt_len),
+        }
+        state, metrics = step(state, vq_params, vs_params, device_batch, sub)
+        global_step += 1
+        if global_step % config.experiment.get("log_every", 50) == 0:
+            metrics_log.log(metrics, global_step)
+            logger.info(f"step {global_step}: loss={float(metrics['loss']):.4f}")
+        if global_step % config.experiment.get("save_every", 10000) == 0:
+            CK.save_checkpoint(state, config.experiment.output_dir, global_step,
+                               unwrapped_params=state.params)
+    CK.save_checkpoint(state, config.experiment.output_dir, global_step,
+                       unwrapped_params=state.params)
+
+
+if __name__ == "__main__":
+    main()

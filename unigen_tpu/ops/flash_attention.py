@@ -54,18 +54,15 @@ def _attn_kernel(meta_q_ref, meta_k_ref, q_ref, k_ref, v_ref, o_ref, *, scale,
         q, k, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32) * scale   # [BQ, Lk]
 
-    mq = meta_q_ref[0]                    # [BQ] int32
-    mk = meta_k_ref[0]                    # [Lk] int32
+    # broadcast meta in int32 FIRST (Mosaic only supports minor-dim insertion for
+    # 32-bit types; 1-bit vectors cannot be reshaped [BQ] -> [BQ, 1])
+    mq = meta_q_ref[0, 0].reshape(block_q, 1)   # [BQ, 1] int32
+    mk = meta_k_ref[0, 0].reshape(1, lk)        # [1, Lk] int32
     q_pos = i * block_q + jax.lax.broadcasted_iota(jnp.int32, logits.shape, 0)
     k_pos = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
 
-    pad_q = (mq & _PAD_BIT) != 0
-    bidir_q = (mq & _BIDIRQ_BIT) != 0
-    pad_k = (mk & _PAD_BIT) != 0
-    bidir_k = (mk & _BIDIRK_BIT) != 0
-
-    visible = (k_pos <= q_pos) | bidir_q[:, None] | bidir_k[None, :]
-    visible &= ~pad_q[:, None] & ~pad_k[None, :]
+    visible = (k_pos <= q_pos) | ((mq & _BIDIRQ_BIT) != 0) | ((mk & _BIDIRK_BIT) != 0)
+    visible &= ((mq & _PAD_BIT) == 0) & ((mk & _PAD_BIT) == 0)
 
     logits = jnp.where(visible, logits, jnp.finfo(jnp.float32).min)
     # fp32 softmax; fully-masked rows (pads) produce uniform weights over the
@@ -137,14 +134,17 @@ def _flash_attention_impl(q, k, v, meta_bits, scale=None, block_q=128,
 
     block_q = min(block_q, lq)
     grid = (b, h, pl.cdiv(lq, block_q))
+    # meta as [B, 1, L]: TPU block specs need the trailing dims tile-aligned; the
+    # middle singleton satisfies the sublane constraint (block dim == full dim)
+    meta3 = meta_bits[:, None, :]
 
     out = pl.pallas_call(
         functools.partial(_attn_kernel, scale=scale, block_q=block_q),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, block_q), lambda bi, hi, qi: (bi, qi),
+            pl.BlockSpec((1, 1, block_q), lambda bi, hi, qi: (bi, 0, qi),
                          memory_space=pltpu.VMEM),                    # meta_q
-            pl.BlockSpec((1, lk), lambda bi, hi, qi: (bi, 0),
+            pl.BlockSpec((1, 1, lk), lambda bi, hi, qi: (bi, 0, 0),
                          memory_space=pltpu.VMEM),                    # meta_k
             pl.BlockSpec((1, 1, block_q, dh), lambda bi, hi, qi: (bi, hi, qi, 0),
                          memory_space=pltpu.VMEM),                    # q
@@ -157,5 +157,5 @@ def _flash_attention_impl(q, k, v, meta_bits, scale=None, block_q=128,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, h, lq, dh), q.dtype),
         interpret=interpret,
-    )(meta_bits, meta_bits, qt, kt, vt)
+    )(meta3, meta3, qt, kt, vt)
     return jnp.swapaxes(out, 1, 2)
