@@ -40,10 +40,22 @@ class _Watchdog:
         signal.alarm(0)
 
 
+def _enable_compile_cache():
+    """Persistent compilation cache: repeat bench runs skip the 20-60s compiles."""
+    import jax
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/unigen_tpu_jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    except Exception:
+        pass
+
+
 def main(batch_size: int = 8, timesteps: int = 50, warmup: int = 1, iters: int = 3,
          quant: Optional[str] = None):
     import jax
     import jax.numpy as jnp
+
+    _enable_compile_cache()
 
     from unigen_tpu.generation import t2i_generate
     from unigen_tpu.models import magvit, unigen

@@ -170,3 +170,30 @@ def test_flash_attention_train_step_matches_dense():
     for k in ("loss", "loss_t2i", "loss_lm", "loss_mmu"):
         np.testing.assert_allclose(float(m_dense[k]), float(m_flash[k]),
                                    rtol=1e-4, atol=1e-5)
+
+
+def test_sharded_t2i_generation_on_mesh(eight_devices):
+    """Data-parallel image generation: batch sharded over 8 devices, one jit."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from unigen_tpu.generation import t2i_generate
+    from unigen_tpu.ops import masks as M
+    cfg = U.UniGenConfig.tiny()
+    params = U.init(jax.random.key(0), cfg)
+    mesh = make_mesh(data=8, fsdp=1, model=1)
+    params_sharded = shard_params(params, partition_unigen(params), mesh)
+    rng = np.random.default_rng(0)
+    n, b = cfg.num_vq_tokens, 8
+    text = rng.integers(3, 100, size=(b, 6))
+    ids = np.concatenate([text, np.full((b, 1), 1),
+                          np.full((b, n), cfg.mask_token_id),
+                          np.full((b, 1), 2)], axis=1)
+    ids = jax.device_put(jnp.asarray(ids), NamedSharding(mesh, P(("data",))))
+    mask = M.create_attention_mask_predict_next(ids, 0, 1, 2, rm_pad_in_image=True)
+
+    with jax.set_mesh(mesh):
+        out = jax.jit(lambda p, i, m, k: t2i_generate(
+            p, cfg, k, i, m, timesteps=2, reuse_prefix_cache=True, pad_id=0))(
+            params_sharded, ids, mask, jax.random.key(0))
+    a = np.asarray(out)
+    assert a.shape == (b, n)
+    assert (a >= 0).all() and (a < cfg.codebook_size).all()
