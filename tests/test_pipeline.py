@@ -185,3 +185,10 @@ def test_run_cot_with_questions_map(pipe):
                       topk=1, guidance_scale=0.0, timesteps=1, eval_text_len=6,
                       style="rule", max_new_tokens=2, questions_map=qmap)
     assert len(res[0]["ratings"]) == 4  # 2 questions x 2 candidates
+
+
+def test_generate_text_end_to_end(pipe):
+    texts = pipe.generate_text(["hello", "what is 2+2?"], jax.random.key(0),
+                               max_new_tokens=4)
+    assert len(texts) == 2
+    assert all(isinstance(t, str) for t in texts)

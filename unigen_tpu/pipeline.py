@@ -236,6 +236,33 @@ class UniGenPipeline:
             eos_id=self.prompting.eos_token_id, max_new_tokens=max_new_tokens,
             temperature=temperature, top_k=top_k)
 
+    # ------------------------------------------------------------- text-only --
+
+    def generate_text(
+        self,
+        prompts: Sequence[str],
+        key: Array,
+        *,
+        max_new_tokens: int = 128,
+        temperature: float = 0.0,
+        top_k: Optional[int] = None,
+    ) -> List[str]:
+        """Plain text-only generation with the unified backbone (BASELINE.md
+        config #2; the reference's HF generate passthrough, unigen.py:583-588)."""
+        from .generation import generate_text as _gen
+        tok_ids = [self.prompting._tokenize(
+            f"<|im_start|>user\n{p}<|im_end|>\n<|im_start|>assistant\n")[0]
+            for p in prompts]
+        maxlen = max(len(t) for t in tok_ids)
+        ids = np.full((len(prompts), maxlen), self.prompting.pad_id, np.int64)
+        for i, t in enumerate(tok_ids):
+            ids[i, :len(t)] = t
+        out = _gen(self.params, self.cfg, key, jnp.asarray(ids),
+                   prompt_len=jnp.asarray([len(t) for t in tok_ids]),
+                   max_new_tokens=max_new_tokens, temperature=temperature,
+                   top_k=top_k, eot_token=self.prompting.eos_token_id)
+        return self.decode_text(out)
+
     # ------------------------------------------------------------- decoding --
 
     def decode_text(self, token_ids: Array) -> List[str]:
