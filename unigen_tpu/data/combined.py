@@ -4,7 +4,6 @@ plain iterator that cycles shorter streams so every step sees all task flows.
 """
 from __future__ import annotations
 
-import itertools
 from typing import Dict, Iterator, Mapping
 
 

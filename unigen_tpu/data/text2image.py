@@ -17,7 +17,6 @@ C++ loader in csrc/ when built.
 from __future__ import annotations
 
 import io
-import itertools
 import json
 import random
 import re

@@ -201,7 +201,7 @@ def build_vision_tower(config: Config, dtype=None):
         cfg = dataclasses.replace(cfg, dtype=dtype)
     path = real_checkpoint(name, config.model.get("ckpt_base_path", ""))
     if os.path.isdir(path):
-        from .utils.hf_import import import_siglip, load_state_dict
+        from .utils.hf_import import load_state_dict
         logger.info(f"loading vision tower weights from {path}")
         return mod.convert_hf_state_dict(load_state_dict(path), cfg), cfg
     logger.warning(f"vision tower checkpoint missing at {path}; random init")

@@ -1,8 +1,6 @@
 """Vision-tower dispatch by name (reference: models/multimodal_encoder/builder.py:9-15)."""
 from __future__ import annotations
 
-from typing import Tuple
-
 from . import siglip
 
 

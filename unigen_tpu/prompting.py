@@ -149,7 +149,11 @@ class UniPrompting:
                 body = [self.pad_id] * pad_n + body
             else:
                 mask = [1] * max_len
-                body = body[: max_len - n_img - 2 - len(conv_end)] + conv_end
+                # clamp: a text budget smaller than the template would otherwise go
+                # negative and emit ragged rows (latent in the reference too,
+                # prompting_utils.py:140)
+                body = body[: max(0, max_len - n_img - 2 - len(conv_end))] + conv_end
+                body = body[: max_len - n_img - 2]
             seqs.append(body + [soi] + list(image_ids[i]) + [eoi])
             masks.append(mask)
         return np.asarray(seqs, np.int64), np.asarray(masks, np.int64)

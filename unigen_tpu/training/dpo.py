@@ -9,7 +9,7 @@ positions of the trailing VQ block (get_batch_logps :51-90), and the loss is
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Callable, NamedTuple, Optional
+from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp

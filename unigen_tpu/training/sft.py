@@ -10,7 +10,7 @@ rates and tunable-part freezing are handled by training/optimizer.py.
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Callable, Optional
+from typing import Callable
 
 import jax
 import jax.numpy as jnp

@@ -8,7 +8,7 @@ de-facto tests (SURVEY.md §4); here they return uint8 arrays for any sink
 """
 from __future__ import annotations
 
-from typing import List, Optional, Sequence
+from typing import Optional, Sequence
 
 import jax
 import jax.numpy as jnp
