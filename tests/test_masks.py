@@ -96,3 +96,15 @@ def test_to_additive():
     m = jnp.asarray([[True, False]])
     a = np.asarray(M.to_additive(m))
     assert a[0, 0] == 0.0 and a[0, 1] < -1e30
+
+
+def test_predict_next_mask_multi_segment(ref_prompting):
+    """Two image segments per row (multi-image mmu layouts)."""
+    import torch
+    seq = np.array([[5, SOI, 10, 11, EOI, 6, SOI, 12, 13, EOI, 7]], dtype=np.int64)
+    theirs = ref_prompting.create_attention_mask_predict_next(
+        torch.tensor(seq), pad_id=PAD, soi_id=SOI, eoi_id=EOI,
+        return_inverse_mask=False).numpy().astype(bool)
+    ours = np.asarray(M.create_attention_mask_predict_next(
+        jnp.asarray(seq), pad_id=PAD, soi_id=SOI, eoi_id=EOI))
+    np.testing.assert_array_equal(ours, theirs)

@@ -113,3 +113,28 @@ def test_mm_projector():
     feats = jnp.ones((2, 9, cfg.mm_input_dim))
     out = U.mm_project(params, feats)
     assert out.shape == (2, 9, cfg.llm.hidden_size)
+
+
+def test_memory_efficient_loss_matches_dense(tiny):
+    """Chunked-CE loss path == materialized-logits path exactly."""
+    cfg, params = tiny
+    bt, bl, bm = 2, 1, 2
+    ids, labels = _batch(cfg, bt, bl, bm)
+    _, lt1, ll1, lm1 = U.forward(params, cfg, input_ids=ids, labels=labels,
+                                 batch_size_t2i=bt, batch_size_lm=bl,
+                                 batch_size_mmu=bm)
+    none_logits, lt2, ll2, lm2 = U.forward(params, cfg, input_ids=ids, labels=labels,
+                                           batch_size_t2i=bt, batch_size_lm=bl,
+                                           batch_size_mmu=bm,
+                                           memory_efficient_loss=True)
+    assert none_logits is None
+    for a, b in ((lt1, lt2), (ll1, ll2), (lm1, lm2)):
+        np.testing.assert_allclose(float(a), float(b), rtol=1e-5, atol=1e-6)
+    # gradients flow through the chunked path
+    g = jax.grad(lambda p: U.forward(p, cfg, input_ids=ids, labels=labels,
+                                     batch_size_t2i=bt, batch_size_lm=bl,
+                                     batch_size_mmu=bm,
+                                     memory_efficient_loss=True)[1])(params)
+    gn = float(jnp.sqrt(sum(jnp.sum(x.astype(jnp.float32) ** 2)
+                            for x in jax.tree_util.tree_leaves(g))))
+    assert np.isfinite(gn) and gn > 0

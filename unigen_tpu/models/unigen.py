@@ -168,6 +168,41 @@ def _cross_entropy(logits: Array, labels: Array, ignore_id: int = -100) -> Array
     return total / count
 
 
+def _chunked_ce(hidden: Array, w: Array, labels: Array, ignore_id: int = -100,
+                chunk: int = 64) -> Array:
+    """Mean CE projecting hidden -> vocab chunk-by-chunk along the sequence.
+
+    The unified 160k vocabulary makes full [B, L, V] fp32 logits the dominant
+    training allocation (SURVEY.md §7 hard part 3: ~1.25GB per 5x391 batch on
+    one chip); scanning sequence chunks with rematerialization keeps peak logits
+    memory at [B, chunk, V] while matching ``_cross_entropy`` exactly (fp32
+    accumulation of per-position NLL sums and counts)."""
+    b, l, d = hidden.shape
+    pad = (-l) % chunk
+    if pad:
+        hidden = jnp.pad(hidden, ((0, 0), (0, pad), (0, 0)))
+        labels = jnp.pad(labels, ((0, 0), (0, pad)), constant_values=ignore_id)
+    n_chunks = (l + pad) // chunk
+    h = hidden.reshape(b, n_chunks, chunk, d).swapaxes(0, 1)   # [C, B, chunk, D]
+    lab = labels.reshape(b, n_chunks, chunk).swapaxes(0, 1)
+
+    @jax.checkpoint
+    def body(carry, xs):
+        total, count = carry
+        h_c, lab_c = xs
+        logits = (h_c @ w.astype(h_c.dtype)).astype(jnp.float32)
+        valid = lab_c != ignore_id
+        safe = jnp.where(valid, lab_c, 0)
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        nll = -jnp.take_along_axis(logp, safe[..., None], axis=-1)[..., 0]
+        return (total + jnp.sum(jnp.where(valid, nll, 0.0)),
+                count + jnp.sum(valid)), None
+
+    (total, count), _ = jax.lax.scan(body, (jnp.zeros((), jnp.float32),
+                                            jnp.zeros((), jnp.int32)), (h, lab))
+    return total / jnp.maximum(count, 1)
+
+
 def forward(
     params: PyTree,
     cfg: UniGenConfig,
@@ -182,6 +217,7 @@ def forward(
     batch_size_mmu: int = 0,
     t2i_mode: str = "mask",
     remat: bool = False,
+    memory_efficient_loss: bool = False,
 ):
     """Unified forward (reference: unigen.py:240-342).
 
@@ -206,6 +242,27 @@ def forward(
 
     hidden, _ = qwen2.forward(params["llm"], cfg.llm, inputs_embeds=input_embeddings,
                               mask=attention_mask, meta=attn_meta, remat=remat)
+
+    if memory_efficient_loss and labels is not None and not use_gen:
+        # chunked CE straight from hidden states: the [B, L, 160k] fp32 logits
+        # tensor never materializes (lets the flagship train on small-HBM chips)
+        w = qwen2.lm_head_weight(params["llm"], cfg.llm)
+        bt, bl, bm = batch_size_t2i, batch_size_lm, batch_size_mmu
+        loss_t2i = jnp.zeros((), jnp.float32)
+        if bt > 0:
+            if t2i_mode == "mask":
+                loss_t2i = _chunked_ce(hidden[:bt, -(n + 1):-1], w,
+                                       labels[:bt, -(n + 1):-1])
+            else:
+                loss_t2i = _chunked_ce(hidden[:bt, -(n + 2):-1], w,
+                                       labels[:bt, -(n + 1):])
+        loss_lm = jnp.zeros((), jnp.float32)
+        if bl > 0:
+            loss_lm = _chunked_ce(hidden[bt:bt + bl, :-1], w, labels[bt:bt + bl, 1:])
+        loss_mmu = jnp.zeros((), jnp.float32)
+        if bm > 0:
+            loss_mmu = _chunked_ce(hidden[-bm:, :-1], w, labels[-bm:, 1:])
+        return None, loss_t2i, loss_lm, loss_mmu
 
     if use_gen:
         img_logits = hidden[:batch_size_t2i] @ params["img_head"]["kernel"].astype(hidden.dtype)

@@ -61,6 +61,7 @@ class TrainStepConfig:
     grad_accum_steps: int = 1
     remat: bool = False
     use_flash_attention: bool = False  # AttnMeta + Pallas kernel instead of dense masks
+    memory_efficient_loss: bool = True  # chunked CE: no [B,L,160k] logits tensor
 
 
 def init_train_state(params: PyTree, tx: optax.GradientTransformation) -> TrainState:
@@ -171,7 +172,9 @@ def make_train_step(
             labels=label_ids,
             batch_size_t2i=tcfg.batch_size_t2i, batch_size_lm=tcfg.batch_size_lm,
             batch_size_mmu=tcfg.batch_size_mmu, t2i_mode=tcfg.t2i_gen_mode,
-            remat=tcfg.remat)
+            remat=tcfg.remat,
+            memory_efficient_loss=(tcfg.memory_efficient_loss
+                                   and not cfg.use_gen_projector))
         loss = tcfg.t2i_coeff * lt + tcfg.lm_coeff * ll + tcfg.mmu_coeff * lm
         return loss, {"loss": loss, "loss_t2i": lt, "loss_lm": ll, "loss_mmu": lm,
                       "avg_masking_rate": mask_prob.mean()}
