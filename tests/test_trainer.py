@@ -64,3 +64,38 @@ def test_trainer_runs_saves_and_resumes(tmp_path):
     assert trainer2.global_step == 3
     state2 = trainer2.train(_flows(2, 8, 10))
     assert int(state2.step) == 5
+
+
+def test_trainer_llava_und_type(tmp_path):
+    """mmu_conv (pre-tokenized conversations) flow through the trainer."""
+    tok = MockTokenizer()
+    prompting = UniPrompting(tok, special_tokens=SPECIALS, max_seq_len=40,
+                             cond_dropout_prob=0.0)
+    cfg = U.UniGenConfig.tiny(text_vocab_len=len(tok))
+    vq_cfg = MV.MagvitConfig.tiny(resolution=8, z_channels=5)
+    params = U.init(jax.random.key(0), cfg)
+    vq_params = MV.init(jax.random.key(1), vq_cfg)
+    schedule = LRS.get_scheduler("constant")
+    tx = make_optimizer(params, 1e-3, schedule)
+    tcfg = TrainStepConfig(batch_size_t2i=0, batch_size_lm=0, batch_size_mmu=2,
+                           pad_id=prompting.pad_id,
+                           soi_id=prompting.sptids_dict["<|soi|>"],
+                           eoi_id=prompting.sptids_dict["<|eoi|>"])
+    trainer_cfg = TrainerConfig(output_dir=str(tmp_path), max_train_steps=1,
+                                log_every=1, save_every=100, seed=0,
+                                und_type="llava", resume_from_checkpoint=None)
+    trainer = Trainer(cfg, vq_cfg, tcfg, trainer_cfg, prompting, tx, params, vq_params)
+
+    rng = np.random.default_rng(0)
+    n = cfg.num_vq_tokens
+    width = prompting.max_seq_len - n - 3
+    ids = rng.integers(3, 100, size=(2, width))
+    ids[:, -1] = 501  # eos so the eos-scan finds a stop
+    labels = np.where(rng.random((2, width)) < 0.5, ids, -100)
+
+    def flow():
+        yield {"mmu_flow": {"images": rng.normal(size=(2, 8, 8, 3)).astype(np.float32),
+                            "input_ids": ids, "labels": labels}}
+
+    state = trainer.train(flow())
+    assert int(state.step) == 1

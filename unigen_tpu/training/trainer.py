@@ -110,6 +110,11 @@ class Trainer:
             if self.tr.und_type == "captioning":
                 ids, _, labels = self.prompting((placeholder, mmu["input_ids"]), "mmu")
             else:  # llava conversations, pre-tokenized ids/labels
+                want = self.prompting.max_seq_len - n - 3
+                assert mmu["input_ids"].shape[1] == want, (
+                    f"llava mmu conversations must be padded to max_seq_len - "
+                    f"num_vq_tokens - 3 = {want} tokens (got "
+                    f"{mmu['input_ids'].shape[1]}) so the fused batch is rectangular")
                 ids, _, labels = self.prompting(
                     (placeholder, mmu["input_ids"], mmu["labels"], None), "mmu_conv")
             out["mmu_template"] = jnp.asarray(ids)
