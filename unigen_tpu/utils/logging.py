@@ -38,6 +38,27 @@ def get_logger(name: str = "unigen_tpu") -> logging.Logger:
     return logger
 
 
+def set_verbosity(level: int) -> None:
+    """HF-style library-wide verbosity control (reference: models/logging.py:102+)."""
+    get_logger().setLevel(level)
+
+
+def set_verbosity_info() -> None:
+    set_verbosity(logging.INFO)
+
+
+def set_verbosity_warning() -> None:
+    set_verbosity(logging.WARNING)
+
+
+def set_verbosity_error() -> None:
+    set_verbosity(logging.ERROR)
+
+
+def set_verbosity_debug() -> None:
+    set_verbosity(logging.DEBUG)
+
+
 class AverageMeter:
     """Running value/avg/count (reference: utils/logger.py:6-21)."""
 
