@@ -192,3 +192,21 @@ def test_generate_text_end_to_end(pipe):
                                max_new_tokens=4)
     assert len(texts) == 2
     assert all(isinstance(t, str) for t in texts)
+
+
+def test_lmms_adapter_generate_until(pipe):
+    from PIL import Image
+    from unigen_tpu.evaluation.lmms_adapter import UniGenLmmsAdapter, concat_images_horizontal
+    adapter = UniGenLmmsAdapter(pipe, max_new_tokens=4, use_system_prompt=True)
+    img = Image.new("RGB", (40, 30), (200, 10, 10))
+    img2 = Image.new("RGB", (20, 30), (10, 200, 10))
+    out = adapter.generate_until([
+        ("what is shown?", {"max_new_tokens": 3}, img),
+        ("compare these", {"max_new_tokens": 3, "until": ["\n"]}, [img, img2]),
+    ])
+    assert len(out) == 2 and all(isinstance(t, str) for t in out)
+    wide = concat_images_horizontal([img, img2])
+    assert wide.size == (60, 30)
+    import pytest as _pytest
+    with _pytest.raises(NotImplementedError):
+        adapter.loglikelihood([])
