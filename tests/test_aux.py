@@ -184,3 +184,16 @@ def test_multihost_single_host_identity():
     assert gather_objects({"a": 1}) == [{"a": 1}]
     assert broadcast_object([1, 2]) == [1, 2]
     sync_hosts()  # no-op single host
+
+
+def test_profiling_trace_writes(tmp_path):
+    from unigen_tpu.utils import profiling as PR
+    d = str(tmp_path / "trace")
+    with PR.trace(d):
+        with PR.annotate("test-region"):
+            _ = jnp.ones((8, 8)) @ jnp.ones((8, 8))
+    import os
+    found = []
+    for root, _, files in os.walk(d):
+        found.extend(files)
+    assert found, "no trace files written"

@@ -70,7 +70,7 @@ def t2i_generate(
 
     With ``reuse_prefix_cache`` (default) the text prefix — which is causal-only
     and therefore *constant across all T steps* — is prefilled into a KV cache
-    once; each step then forwards only the n+1 image/suffix tokens against it
+    once; each step then forwards only the n+2 [soi][img][eoi] tokens against it
     (~33% fewer FLOPs at the GenEval shape vs the reference's full re-forward,
     unigen.py:398-406). Token-exact vs the full path. ``pad_id`` enables the
     cached path to exclude left-padding keys (defaults to the id at position 0
