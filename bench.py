@@ -183,9 +183,10 @@ def bench_vqa(batch_size: int = 8, prompt_len: int = 600, max_new_tokens: int = 
     from unigen_tpu.models import unigen
     from unigen_tpu.ops import masks as M
 
+    _enable_compile_cache()
     cfg = unigen.UniGenConfig.for_qwen25_15b()
     params = jax.jit(lambda k: unigen.init(k, cfg))(jax.random.key(0))
-    if quant == "int8":
+    if quant in ("int8", "int8+kv"):
         from unigen_tpu.ops.quantization import quantize_unigen_params
         params = jax.jit(quantize_unigen_params)(params)
         print("[bench] vqa backbone quantized to int8", file=sys.stderr)
@@ -194,11 +195,13 @@ def bench_vqa(batch_size: int = 8, prompt_len: int = 600, max_new_tokens: int = 
     ids = ids.at[:, 2].set(151665).at[:, 400].set(151666)  # soi .. eoi prefix block
     prompt_lens = jnp.full((batch_size,), prompt_len)
 
+    quant_kv = quant in ("int8kv", "int8+kv")
+
     def run(params, ids, key):
         attn = M.create_attention_mask_for_mmu(ids, eoi_id=151666)
         return mmu_generate(params, cfg, key, input_ids=ids, attention_mask=attn,
                             prompt_len=prompt_lens, max_new_tokens=max_new_tokens,
-                            temperature=0.0)
+                            temperature=0.0, quantized_cache=quant_kv)
 
     fn = jax.jit(run)
 
@@ -274,8 +277,8 @@ if __name__ == "__main__":
     args = sys.argv[1:]
     if args and args[0] == "vqa":
         nums = [a for a in args[1:] if a.isdigit()]
-        bench_vqa(batch_size=int(nums[0]) if nums else 8,
-                  quant="int8" if "int8" in args else None)
+        q = next((a for a in args if a in ("int8", "int8kv", "int8+kv")), None)
+        bench_vqa(batch_size=int(nums[0]) if nums else 8, quant=q)
     elif args and args[0] == "tokenizer":
         bench_tokenizer(batch_size=int(args[1]) if len(args) > 1 else 16)
     else:

@@ -48,3 +48,45 @@ def test_quantized_kv_cache_decode_runs():
     h, cache = Q.forward(params, cfg, input_ids=jnp.asarray([[1, 2, 3]]), cache=cache)
     h, cache = Q.forward(params, cfg, input_ids=jnp.asarray([[4]]), cache=cache)
     assert np.isfinite(np.asarray(h)).all()
+
+
+def test_quantized_kv_cache_close_to_bf16():
+    """int8 KV cache decode tracks the exact-cache decode closely."""
+    cfg = Q.Qwen2Config.tiny(vocab_size=128)
+    params = Q.init(jax.random.key(0), cfg)
+    ids = jnp.asarray(np.random.default_rng(2).integers(0, 128, size=(2, 6)))
+
+    def run(quant):
+        cache = Q.init_kv_cache(cfg, 2, 12, dtype=jnp.float32, quantize=quant)
+        h, cache = Q.forward(params, cfg, input_ids=ids, cache=cache)
+        hs = [h]
+        tok = jnp.argmax(Q.logits(params, cfg, h[:, -1:]), axis=-1)
+        for _ in range(3):
+            h, cache = Q.forward(params, cfg, input_ids=tok, cache=cache)
+            hs.append(h)
+            tok = jnp.argmax(Q.logits(params, cfg, h[:, -1:]), axis=-1)
+        return np.concatenate([np.asarray(x, np.float32) for x in hs], axis=1)
+
+    exact = run(False)
+    q = run(True)
+    cos = (exact * q).sum() / (np.linalg.norm(exact) * np.linalg.norm(q))
+    assert cos > 0.999, cos
+
+
+def test_mmu_generate_quantized_cache_runs():
+    from unigen_tpu.generation import mmu_generate
+    from unigen_tpu.models import unigen as UU
+    from unigen_tpu.ops import masks as M
+    cfg = UU.UniGenConfig.tiny()
+    params = UU.init(jax.random.key(0), cfg)
+    ids = jnp.asarray(np.random.default_rng(3).integers(3, 100, size=(1, 8)))
+    mask = M.causal_mask_from_attention(jnp.ones((1, 8), jnp.int32))
+    out = mmu_generate(params, cfg, jax.random.key(0), input_ids=ids,
+                       attention_mask=mask, prompt_len=jnp.asarray([8]),
+                       max_new_tokens=4, temperature=0.0, quantized_cache=True)
+    assert out.shape == (1, 4)
+    out_ref = mmu_generate(params, cfg, jax.random.key(0), input_ids=ids,
+                           attention_mask=mask, prompt_len=jnp.asarray([8]),
+                           max_new_tokens=4, temperature=0.0)
+    # greedy tokens typically agree on a tiny model; require at least the first
+    assert int(out[0, 0]) == int(out_ref[0, 0])
