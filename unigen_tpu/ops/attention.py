@@ -19,15 +19,6 @@ from .masks import AttnMeta
 Array = jax.Array
 
 
-def _repeat_kv(x: Array, n_rep: int) -> Array:
-    """[B, L, KVH, D] -> [B, L, KVH*n_rep, D] for grouped-query attention."""
-    if n_rep == 1:
-        return x
-    b, l, kvh, d = x.shape
-    x = jnp.broadcast_to(x[:, :, :, None, :], (b, l, kvh, n_rep, d))
-    return x.reshape(b, l, kvh * n_rep, d)
-
-
 def dot_product_attention(
     q: Array,                       # [B, Lq, H, Dh]
     k: Array,                       # [B, Lk, KVH, Dh]
@@ -45,21 +36,23 @@ def dot_product_attention(
     """
     del impl  # Pallas kernel is selected inside flash_attention when available.
     b, lq, h, dh = q.shape
-    kvh = k.shape[2]
-    n_rep = h // kvh
-    k = _repeat_kv(k, n_rep)
-    v = _repeat_kv(v, n_rep)
+    lk, kvh = k.shape[1], k.shape[2]
+    g = h // kvh
 
     if scale is None:
         scale = dh ** -0.5
 
-    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+    # GQA-grouped einsum: query heads reshape to [KVH, G] so K/V are NEVER
+    # repeated/materialized G-fold (a 6x cache copy per decode step for Qwen2.5)
+    qg = q.reshape(b, lq, kvh, g, dh)
+    logits = jnp.einsum("bqkgd,bskd->bkgqs", qg, k,
                         preferred_element_type=jnp.float32) * scale
 
     if mask is None and meta is not None:
         mask = meta.visibility()
     if mask is not None:
-        logits = jnp.where(mask, logits, jnp.finfo(jnp.float32).min)
+        logits = jnp.where(mask[:, :, None], logits, jnp.finfo(jnp.float32).min)
 
     weights = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
-    return jnp.einsum("bhqk,bkhd->bqhd", weights, v)
+    out = jnp.einsum("bkgqs,bskd->bqkgd", weights, v)
+    return out.reshape(b, lq, h, dh)
