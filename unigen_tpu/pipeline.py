@@ -63,21 +63,23 @@ def _encode_pixels(vq_params, vq_cfg, pixels):
 
 
 @partial(jax.jit, static_argnames=("cfg", "eoi_id", "eos_id", "max_new_tokens",
-                                   "temperature", "top_k"))
+                                   "temperature", "top_k", "quantized_cache"))
 def _mmu_decode(params, cfg, ids, prompt_len, key, *, eoi_id, eos_id,
-                max_new_tokens, temperature, top_k):
+                max_new_tokens, temperature, top_k, quantized_cache=False):
     attn = M.create_attention_mask_for_mmu(ids, eoi_id=eoi_id)
     keep = jnp.arange(ids.shape[1])[None] < prompt_len[:, None]
     attn = attn & keep[:, None, None, :] & keep[:, None, :, None]
     return mmu_generate(params, cfg, key, input_ids=ids, attention_mask=attn,
                         prompt_len=prompt_len, max_new_tokens=max_new_tokens,
-                        temperature=temperature, top_k=top_k, eot_token=eos_id)
+                        temperature=temperature, top_k=top_k, eot_token=eos_id,
+                        quantized_cache=quantized_cache)
 
 
 @partial(jax.jit, static_argnames=("cfg", "sys_len", "eos_id", "max_new_tokens",
-                                   "temperature", "top_k"))
+                                   "temperature", "top_k", "quantized_cache"))
 def _mmu_vit_decode(params, cfg, part1, part2, img_embeds, prompt_len, key, *,
-                    sys_len, eos_id, max_new_tokens, temperature, top_k):
+                    sys_len, eos_id, max_new_tokens, temperature, top_k,
+                    quantized_cache=False):
     e1 = unigen.embed_tokens(params, part1)
     e2 = unigen.embed_tokens(params, part2)
     embeds = jnp.concatenate([e1, img_embeds.astype(e1.dtype), e2], axis=1)
@@ -90,7 +92,8 @@ def _mmu_vit_decode(params, cfg, part1, part2, img_embeds, prompt_len, key, *,
     return mmu_generate(params, cfg, key, input_embeddings=embeds,
                         attention_mask=attn, prompt_len=prompt_len,
                         max_new_tokens=max_new_tokens, temperature=temperature,
-                        top_k=top_k, eot_token=eos_id)
+                        top_k=top_k, eot_token=eos_id,
+                        quantized_cache=quantized_cache)
 
 
 @partial(jax.jit, static_argnames=("vision_cfg",))
@@ -112,6 +115,7 @@ class UniGenPipeline:
     prompting: UniPrompting
     vision_params: Optional[Any] = None
     vision_cfg: Optional[siglip.SiglipConfig] = None
+    quantized_cache: bool = False   # int8 KV cache for understanding decode
 
     # ------------------------------------------------------------------ t2i --
 
@@ -177,7 +181,7 @@ class UniGenPipeline:
                            eoi_id=self.prompting.sptids_dict["<|eoi|>"],
                            eos_id=self.prompting.eos_token_id,
                            max_new_tokens=max_new_tokens, temperature=temperature,
-                           top_k=top_k)
+                           top_k=top_k, quantized_cache=self.quantized_cache)
 
     def understand(
         self,
@@ -234,7 +238,8 @@ class UniGenPipeline:
             jnp.asarray(prompt_len), key,
             sys_len=0 if system_prompt_ids is None else system_prompt_ids.shape[1],
             eos_id=self.prompting.eos_token_id, max_new_tokens=max_new_tokens,
-            temperature=temperature, top_k=top_k)
+            temperature=temperature, top_k=top_k,
+            quantized_cache=self.quantized_cache)
 
     # ------------------------------------------------------------- text-only --
 
