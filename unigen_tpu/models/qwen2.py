@@ -209,7 +209,9 @@ def _attention_block(p, cfg: Qwen2Config, x: Array, mask: Optional[Array],
 
     new_cache = None
     if layer_cache is not None and len(layer_cache) == 4:
-        # int8 cache: quantize the incoming chunk, read back dequantized
+        # int8 cache: quantize the incoming chunk; attention applies the scales
+        # post-matmul so the cache is never expanded to a bf16 temp
+        from ..ops.attention import dot_product_attention_q8
         ck, cv, cks, cvs = layer_cache
         kq, ks_new = _kv_quantize(k)
         vq, vs_new = _kv_quantize(v)
@@ -217,9 +219,9 @@ def _attention_block(p, cfg: Qwen2Config, x: Array, mask: Optional[Array],
         cv = jax.lax.dynamic_update_slice(cv, vq, (0, cache_index, 0, 0))
         cks = jax.lax.dynamic_update_slice(cks, ks_new, (0, cache_index, 0))
         cvs = jax.lax.dynamic_update_slice(cvs, vs_new, (0, cache_index, 0))
-        k = _kv_dequantize(ck, cks, q.dtype)
-        v = _kv_dequantize(cv, cvs, q.dtype)
-        new_cache = (ck, cv, cks, cvs)
+        out = dot_product_attention_q8(q, ck, cks, cv, cvs, mask=mask)
+        out = out.reshape(b, l, h * dh)
+        return _dense(p["o"], out), (ck, cv, cks, cvs)
     elif layer_cache is not None:
         ck, cv = layer_cache
         ck = jax.lax.dynamic_update_slice(ck, k.astype(ck.dtype), (0, cache_index, 0, 0))

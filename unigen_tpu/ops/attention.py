@@ -56,3 +56,40 @@ def dot_product_attention(
     weights = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
     out = jnp.einsum("bkgqs,bskd->bqkgd", weights, v)
     return out.reshape(b, lq, h, dh)
+
+
+def dot_product_attention_q8(
+    q: Array,            # [B, Lq, H, Dh]
+    k_q: Array,          # [B, Lk, KVH, Dh] int8
+    k_scale: Array,      # [B, Lk, KVH] fp32
+    v_q: Array,          # [B, Lk, KVH, Dh] int8
+    v_scale: Array,      # [B, Lk, KVH] fp32
+    mask: Optional[Array] = None,   # [B, 1, Lq, Lk] bool
+    scale: Optional[float] = None,
+) -> Array:
+    """Attention over an int8 KV cache with POST-matmul scale application.
+
+    The per-(slot, head) scales are constant over the head dimension, so they
+    factor out of both matmuls: logits scale columns of q@k, and v's scale folds
+    into the softmax weights. The int8 cache is never expanded to a full-size
+    bf16 temp — the int8->bf16 convert fuses into the dot operands.
+    """
+    b, lq, h, dh = q.shape
+    kvh = k_q.shape[2]
+    g = h // kvh
+    if scale is None:
+        scale = dh ** -0.5
+
+    qg = q.reshape(b, lq, kvh, g, dh)
+    logits = jnp.einsum("bqkgd,bskd->bkgqs", qg, k_q.astype(q.dtype),
+                        preferred_element_type=jnp.float32)
+    # apply q-scale and the k slot scales after the matmul
+    logits = logits * scale * jnp.moveaxis(k_scale, 1, 2)[:, :, None, None, :]
+
+    if mask is not None:
+        logits = jnp.where(mask[:, :, None], logits, jnp.finfo(jnp.float32).min)
+
+    weights = jax.nn.softmax(logits, axis=-1)
+    weights = (weights * jnp.moveaxis(v_scale, 1, 2)[:, :, None, None, :]).astype(q.dtype)
+    out = jnp.einsum("bkgqs,bskd->bqkgd", weights, v_q.astype(q.dtype))
+    return out.reshape(b, lq, h, dh)
