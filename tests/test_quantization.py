@@ -90,3 +90,22 @@ def test_mmu_generate_quantized_cache_runs():
                            max_new_tokens=4, temperature=0.0)
     # greedy tokens typically agree on a tiny model; require at least the first
     assert int(out[0, 0]) == int(out_ref[0, 0])
+
+
+def test_ar_sampler_quantized_cache_runs():
+    from unigen_tpu.generation import t2i_generate_ar
+    from unigen_tpu.models import unigen as UU
+    cfg = UU.UniGenConfig.tiny()
+    params = UU.init(jax.random.key(0), cfg)
+    rng = np.random.default_rng(5)
+    n, b = cfg.num_vq_tokens, 1
+    ids = np.concatenate([rng.integers(3, 100, size=(b, 5)), np.full((b, 1), 1),
+                          np.full((b, n), cfg.mask_token_id),
+                          np.full((b, 1), 2)], axis=1)
+    ids = jnp.asarray(ids)
+    att = jnp.ones((2 * b, ids.shape[1]), jnp.int32)
+    out = t2i_generate_ar(params, cfg, jax.random.key(0), ids, ids, att,
+                          guidance_scale=1.5, temperature=1e-5,
+                          quantized_cache=True)
+    a = np.asarray(out)
+    assert a.shape == (b, n) and (a >= 0).all() and (a < cfg.codebook_size).all()

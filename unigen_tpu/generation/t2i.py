@@ -254,6 +254,7 @@ def t2i_generate_ar(
     guidance_scale: float = 0.0,
     temperature: float = 1.0,
     image_token_num_per_image: Optional[int] = None,
+    quantized_cache: bool = False,
 ) -> Array:
     """Autoregressive image generation with CFG and a KV cache
     (reference: models/unigen.py:457-521). Returns [B, N] codebook ids."""
@@ -263,7 +264,7 @@ def t2i_generate_ar(
     lp = prompt.shape[1]
     total = lp + n
 
-    cache = qwen2.init_kv_cache(cfg.llm, 2 * bsz, total)
+    cache = qwen2.init_kv_cache(cfg.llm, 2 * bsz, total, quantize=quantized_cache)
     pad_keep = attention_1d[:, :lp].astype(bool)                       # [2B, Lp]
 
     # prefill: causal over non-pad prompt tokens, padded out to the cache length
