@@ -236,6 +236,8 @@ def bench_tokenizer(batch_size: int = 16):
 
     from unigen_tpu.models import magvit
 
+    _enable_compile_cache()
+
     vq_cfg = magvit.MagvitConfig(dtype=jnp.bfloat16)
     vq_params = jax.jit(lambda k: magvit.init(k, vq_cfg))(jax.random.key(0))
     px = jax.random.uniform(jax.random.key(1), (batch_size, 256, 256, 3),
