@@ -59,7 +59,7 @@ def main():
                      soi_id=prompting.sptids_dict["<|soi|>"],
                      eoi_id=prompting.sptids_dict["<|eoi|>"],
                      max_grad_norm=tr.get("max_grad_norm"))
-    step = jax.jit(make_dpo_step(cfg, vq_cfg, tx, dcfg))
+    step = jax.jit(make_dpo_step(cfg, vq_cfg, tx, dcfg), donate_argnums=(0,))
     state = init_train_state(params, tx)
     metrics_log = MetricLogger(config.experiment.output_dir)
 

@@ -69,7 +69,7 @@ def main():
         eoi_id=prompting.sptids_dict["<|eoi|>"],
         n_grid=tr.get("n_grid", 0),
         remat=config.model.get("gradient_checkpointing", False))
-    step = jax.jit(make_sft_train_step(cfg, vq_cfg, vs_cfg, tx, tcfg))
+    step = jax.jit(make_sft_train_step(cfg, vq_cfg, vs_cfg, tx, tcfg), donate_argnums=(0,))
     state = init_train_state(params, tx)
     metrics_log = MetricLogger(config.experiment.output_dir)
 

@@ -64,7 +64,10 @@ class Trainer:
         self.vq_params = vq_params
         self.metrics = metric_logger or MetricLogger(trainer_cfg.output_dir)
         self.generate_callback = generate_callback
-        self.step_fn = jax.jit(make_train_step(cfg, vq_cfg, tx, tcfg))
+        # donate the TrainState: params/optimizer buffers update in place instead
+        # of double-buffering (~2x the 12.4GB state for the 1.5B flagship)
+        self.step_fn = jax.jit(make_train_step(cfg, vq_cfg, tx, tcfg),
+                               donate_argnums=(0,))
         self.state = init_train_state(params, tx)
         self.global_step = 0
         self._maybe_resume()
