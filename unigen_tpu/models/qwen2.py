@@ -201,9 +201,17 @@ def _attention_block(p, cfg: Qwen2Config, x: Array, mask: Optional[Array],
                      meta_bits: Optional[Array] = None):
     b, l, _ = x.shape
     h, kvh, dh = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
-    q = _dense(p["q"], x).reshape(b, l, h, dh)
-    k = _dense(p["k"], x).reshape(b, l, kvh, dh)
-    v = _dense(p["v"], x).reshape(b, l, kvh, dh)
+    if "kernel_int8" in p["q"]:
+        # q/k/v share the input: quantize activations once for all three
+        from ..ops.quantization import dense_int8_prequant, quantize_activations
+        xq, xs = quantize_activations(x)
+        q = dense_int8_prequant(p["q"], xq, xs, x.dtype).reshape(b, l, h, dh)
+        k = dense_int8_prequant(p["k"], xq, xs, x.dtype).reshape(b, l, kvh, dh)
+        v = dense_int8_prequant(p["v"], xq, xs, x.dtype).reshape(b, l, kvh, dh)
+    else:
+        q = _dense(p["q"], x).reshape(b, l, h, dh)
+        k = _dense(p["k"], x).reshape(b, l, kvh, dh)
+        v = _dense(p["v"], x).reshape(b, l, kvh, dh)
     q = rope(q, positions, cfg.rope_theta, cfg.rope_scaling_factor)
     k = rope(k, positions, cfg.rope_theta, cfg.rope_scaling_factor)
 
@@ -242,6 +250,13 @@ def _attention_block(p, cfg: Qwen2Config, x: Array, mask: Optional[Array],
 
 
 def _mlp_block(p, x: Array) -> Array:
+    if "kernel_int8" in p["gate"]:
+        # gate/up share the input: one activation quantization for both
+        from ..ops.quantization import dense_int8_prequant, quantize_activations
+        xq, xs = quantize_activations(x)
+        gate = dense_int8_prequant(p["gate"], xq, xs, x.dtype)
+        up = dense_int8_prequant(p["up"], xq, xs, x.dtype)
+        return _dense(p["down"], jax.nn.silu(gate) * up)
     return _dense(p["down"], jax.nn.silu(_dense(p["gate"], x)) * _dense(p["up"], x))
 
 

@@ -40,21 +40,34 @@ def quantize_dense(p: dict) -> dict:
     return out
 
 
-def dense_int8(p: dict, x: Array) -> Array:
-    """W8A8 matmul with dynamic per-token activation scales; returns x.dtype."""
-    orig_dtype = x.dtype
+def quantize_activations(x: Array):
+    """Dynamic per-token symmetric int8: (x_int8, act_scale [..., 1] fp32).
+
+    Factored out so layers with a shared input (q/k/v; gate/up) quantize it once.
+    """
     xf = x.astype(jnp.float32)
     act_scale = jnp.max(jnp.abs(xf), axis=-1, keepdims=True) / 127.0
     act_scale = jnp.maximum(act_scale, 1e-8)
     x_int8 = jnp.clip(jnp.round(xf / act_scale), -127, 127).astype(jnp.int8)
+    return x_int8, act_scale
+
+
+def dense_int8_prequant(p: dict, x_int8: Array, act_scale: Array, out_dtype) -> Array:
+    """W8A8 matmul over pre-quantized activations."""
     acc = jax.lax.dot_general(
         x_int8, p[_QUANT_KEY],
-        dimension_numbers=(((x.ndim - 1,), (0,)), ((), ())),
+        dimension_numbers=(((x_int8.ndim - 1,), (0,)), ((), ())),
         preferred_element_type=jnp.int32)
     y = acc.astype(jnp.float32) * act_scale * p["scale"].astype(jnp.float32)
     if "bias" in p:
         y = y + p["bias"].astype(jnp.float32)
-    return y.astype(orig_dtype)
+    return y.astype(out_dtype)
+
+
+def dense_int8(p: dict, x: Array) -> Array:
+    """W8A8 matmul with dynamic per-token activation scales; returns x.dtype."""
+    x_int8, act_scale = quantize_activations(x)
+    return dense_int8_prequant(p, x_int8, act_scale, x.dtype)
 
 
 def is_quantized(p: dict) -> bool:
