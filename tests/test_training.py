@@ -197,3 +197,29 @@ def test_sharded_t2i_generation_on_mesh(eight_devices):
     a = np.asarray(out)
     assert a.shape == (b, n)
     assert (a >= 0).all() and (a < cfg.codebook_size).all()
+
+
+def test_fsdp_param_sharding_train_step(eight_devices):
+    """ZeRO-style: params/optimizer state sharded on the fsdp axis via add_fsdp."""
+    from unigen_tpu.parallel.partition import add_fsdp, sanitize_specs
+    cfg, vq_cfg, params, vq_params, mk_batch, tx, tcfg, step_fn = _tiny_setup(
+        bt=4, bl=4, bm=4)
+    mesh = make_mesh(data=2, fsdp=2, model=2)
+    specs = add_fsdp(partition_unigen(params), params, min_size=1024)
+    # at least one large leaf picked up the fsdp axis
+    flat = jax.tree_util.tree_leaves(
+        jax.tree_util.tree_map(lambda s: "fsdp" in str(s), specs))
+    assert any(flat)
+    params_sharded = shard_params(params, specs, mesh)
+    vq_sharded = shard_params(vq_params, partition_magvit(vq_params), mesh)
+    state = init_train_state(params_sharded, tx)
+    # optimizer moments inherit the param shardings
+    mu_embed = jax.tree_util.tree_leaves(state.opt_state)[0]
+    batch = mk_batch()
+    batch = {k: jax.device_put(v, NamedSharding(mesh, partition_batch(v.ndim)))
+             for k, v in batch.items()}
+    with jax.set_mesh(mesh):
+        state, metrics = jax.jit(step_fn)(state, vq_sharded, batch, jax.random.key(0))
+    assert np.isfinite(float(metrics["loss"]))
+    emb_spec = str(state.params["llm"]["embed"]["weight"].sharding.spec)
+    assert "fsdp" in emb_spec or "model" in emb_spec
