@@ -210,3 +210,13 @@ def test_lmms_adapter_generate_until(pipe):
     import pytest as _pytest
     with _pytest.raises(NotImplementedError):
         adapter.loglikelihood([])
+
+
+def test_run_cot_think_style(pipe):
+    """think-style rating: one CoT prompt per candidate, QA pairs parsed."""
+    res = COT.run_cot(pipe, ["a photo of a cup"], jax.random.key(2), n_samples=2,
+                      topk=1, guidance_scale=0.0, timesteps=1, eval_text_len=6,
+                      style="think", max_new_tokens=4)
+    assert len(res[0]["ratings"]) >= 2  # >=1 parsed QA row per candidate
+    assert all(r["answer"] in ("yes", "no") for r in res[0]["ratings"])
+    assert res[0]["selected"].shape[0] == 1
