@@ -44,7 +44,7 @@ def _build(tmp_path, max_steps=3):
                            soi_id=prompting.sptids_dict["<|soi|>"],
                            eoi_id=prompting.sptids_dict["<|eoi|>"])
     trainer_cfg = TrainerConfig(output_dir=str(tmp_path), max_train_steps=max_steps,
-                                log_every=1, save_every=2, seed=0)
+                                log_every=1, save_every=2, visualize_every=3, seed=0)
     return Trainer(cfg, vq_cfg, tcfg, trainer_cfg, prompting, tx, params, vq_params)
 
 
@@ -58,6 +58,11 @@ def test_trainer_runs_saves_and_resumes(tmp_path):
     with open(os.path.join(tmp_path, "metrics.jsonl")) as f:
         logs = [json.loads(l) for l in f]
     assert any("loss" in l and np.isfinite(l["loss"]) for l in logs)
+    # samples/sec is averaged over the meter window (reference train.py:808-819)
+    assert any(l.get("samples_per_sec_per_device", 0) > 0 for l in logs)
+    # visualize_predictions triptych fired at step 3 and is surfaced in metrics
+    vis = [l["visualization"] for l in logs if "visualization" in l]
+    assert vis and os.path.isfile(vis[0])
 
     # a fresh trainer resumes from checkpoint-3 and continues to 5
     trainer2 = _build(tmp_path, max_steps=5)

@@ -38,6 +38,7 @@ class TrainerConfig:
     log_every: int = 50
     save_every: int = 2000
     generate_every: int = 0
+    visualize_every: int = 0         # [orig | recon | pred] triptychs (train.py:859-875)
     checkpoints_total_limit: Optional[int] = None
     resume_from_checkpoint: Optional[str] = "latest"
     seed: int = 10084
@@ -125,6 +126,28 @@ class Trainer:
             out["mmu_pixels"] = jnp.asarray(mmu["images"])
         return out
 
+    # ----------------------------------------------------------- visualize --
+
+    def _visualize(self, batch: Dict[str, Any], key) -> None:
+        """[original | VQ recon | model prediction] triptych on the current t2i
+        batch, saved as a grid PNG and surfaced in metrics.jsonl (reference
+        train.py:859-875 wires visualize_predictions the same way)."""
+        from . import visualization as VZ
+        ids = VZ.masked_t2i_inputs(
+            self.vq_params, self.vq_cfg, self.cfg, batch["t2i_template"],
+            batch["t2i_pixels"], key, mask_schedule=self.tcfg.mask_schedule,
+            min_masking_rate=self.tcfg.min_masking_rate)
+        trip = VZ.visualize_predictions(
+            self.state.params, self.cfg, self.vq_params, self.vq_cfg,
+            batch["t2i_pixels"], ids, self.tcfg.pad_id, self.tcfg.soi_id,
+            self.tcfg.eoi_id)
+        if jax.process_index() == 0:
+            vis_dir = os.path.join(self.tr.output_dir, "visualizations")
+            os.makedirs(vis_dir, exist_ok=True)
+            path = os.path.join(vis_dir, f"predictions_step{self.global_step}.png")
+            VZ.save_image_grid(trip, path)
+            self.metrics.log({"visualization": path}, self.global_step)
+
     # ---------------------------------------------------------------- train --
 
     def train(self, combined_flow: Iterator[Dict[str, Dict]]) -> TrainState:
@@ -157,7 +180,9 @@ class Trainer:
                 logs.update({
                     "avg_masking_rate": float(metrics["avg_masking_rate"]),
                     "grad_norm": float(metrics["grad_norm"]),
-                    "samples_per_sec_per_device": per_step_samples / max(batch_time.val, 1e-9),
+                    # window average, matching the reference's averaged meters
+                    # (train.py:808-819) — the last-step value is too noisy
+                    "samples_per_sec_per_device": per_step_samples / max(batch_time.avg, 1e-9),
                     "data_time": data_time.avg,
                     "batch_time": batch_time.avg,
                 })
@@ -176,6 +201,11 @@ class Trainer:
             if (self.generate_callback and self.tr.generate_every
                     and self.global_step % self.tr.generate_every == 0):
                 self.generate_callback(self.state.params, self.global_step)
+
+            if (self.tr.visualize_every and self.tcfg.batch_size_t2i > 0
+                    and self.global_step % self.tr.visualize_every == 0):
+                key, vk = jax.random.split(key)
+                self._visualize(batch, vk)
 
         if jax.process_index() == 0:
             CK.save_checkpoint(self.state, self.tr.output_dir, self.global_step,

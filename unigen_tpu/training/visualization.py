@@ -68,6 +68,30 @@ def visualize_predictions(
     return pixels_to_uint8(trip)
 
 
+def masked_t2i_inputs(vq_params, vq_cfg: magvit.MagvitConfig, cfg: unigen.UniGenConfig,
+                      template: Array, pixels: Array, key, *,
+                      mask_schedule: str = "cosine",
+                      min_masking_rate: float = 0.0) -> Array:
+    """Rebuild the train-step's masked t2i sequence for visualization: VQ-encode
+    the batch images, MaskGIT-corrupt them, splice into the prompt template at
+    the image slot (same layout as training/train_step.py::build_inputs)."""
+    from ..ops import masking as MK
+    from ..ops import sampling as S
+
+    n = cfg.num_vq_tokens
+    codes = magvit.get_code(vq_params, vq_cfg, pixels)
+    masked = MK.mask_or_random_replace_tokens(
+        key, codes, cfg.codebook_size, S.get_mask_schedule(mask_schedule),
+        min_masking_rate=min_masking_rate, codebook_size=cfg.codebook_size)
+    if cfg.use_gen_projector:
+        img = masked.input_ids
+    else:
+        img = jnp.where(masked.input_ids == cfg.codebook_size, cfg.mask_token_id,
+                        masked.input_ids + cfg.text_vocab_len)
+    return jax.lax.dynamic_update_slice(
+        template, img.astype(template.dtype), (0, template.shape[1] - n - 1))
+
+
 def save_image_grid(images: np.ndarray, path: str, cols: Optional[int] = None) -> None:
     """uint8 [B, H, W, 3] -> one grid PNG."""
     from PIL import Image
