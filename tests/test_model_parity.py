@@ -1,0 +1,381 @@
+"""Cross-framework parity: the reference's OWN torch models vs this framework.
+
+These tests instantiate the reference's `UniGen` (reference: models/unigen.py:20)
+and `MAGVITv2` building blocks (multimodal_encoder/magvitv2.py:57-441) with small
+random weights, import them through our converters (utils/hf_import.py), and
+assert:
+
+  (a) full-model 3-task forward parity — logits and all three losses
+      (reference forward: unigen.py:240-342);
+  (b) token-exact `t2i_generate` under a deterministic shared-noise mode: both
+      samplers consume the SAME pre-drawn uniform arrays (the reference via
+      patched `torch.multinomial` / `models.sampling.gumbel_noise`, ours via the
+      `noise=` hook in generation/t2i.py) so any token mismatch is a logits /
+      schedule / masking divergence, not RNG;
+  (c) greedy `mmu_generate` token parity (reference unigen.py:523-581);
+  (d) MAGViTv2 encode / decode parity through the torch weight converter.
+
+The BASELINE.md "exact parity" row is demonstrated here on random weights at the
+flagship model *shape family* (scaled-down geometry, identical code paths).
+"""
+import json
+import os
+import sys
+
+import numpy as np
+import pytest
+
+from _reference import REFERENCE_ROOT, has_reference, install_reference_stubs
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp  # noqa: E402
+
+TEXT_VOCAB = 160
+CODEBOOK = 64
+N_IMG = 16
+VOCAB = TEXT_VOCAB + CODEBOOK + 1
+PAD, SOI, EOI = 1, 2, 3
+
+
+@pytest.fixture(scope="module")
+def torch():
+    return pytest.importorskip("torch")
+
+
+@pytest.fixture(scope="module")
+def ref_models(torch):
+    """Import the reference as a package (its modules use relative imports)."""
+    if not has_reference():
+        pytest.skip("PyTorch reference not available")
+    if REFERENCE_ROOT not in sys.path:
+        sys.path.insert(0, REFERENCE_ROOT)
+    install_reference_stubs()
+    import models as ref_models  # noqa: F401
+    import models.sampling as ref_sampling
+    import models.unigen as ref_unigen
+    import models.multimodal_encoder.magvitv2 as ref_magvit
+    return ref_unigen, ref_sampling, ref_magvit
+
+
+def _tiny_qwen2_config_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("tiny_qwen2")
+    cfg = {
+        "architectures": ["Qwen2ForCausalLM"], "model_type": "qwen2",
+        "hidden_size": 64, "intermediate_size": 128, "num_hidden_layers": 2,
+        "num_attention_heads": 4, "num_key_value_heads": 2, "head_dim": 16,
+        "vocab_size": TEXT_VOCAB, "max_position_embeddings": 512,
+        "rope_theta": 10000.0, "rms_norm_eps": 1e-6,
+        "tie_word_embeddings": False, "hidden_act": "silu",
+        "torch_dtype": "float32", "attention_dropout": 0.0,
+        "initializer_range": 0.02, "use_cache": True,
+    }
+    (d / "config.json").write_text(json.dumps(cfg))
+    return str(d)
+
+
+def _our_config(gen_proj_depth=0):
+    from unigen_tpu.models import qwen2 as Q
+    from unigen_tpu.models import unigen as U
+    llm = Q.Qwen2Config.tiny(vocab_size=VOCAB, tie_word_embeddings=False)
+    return U.UniGenConfig(llm=llm, vocab_size=VOCAB, llm_vocab_size=TEXT_VOCAB,
+                          text_vocab_len=TEXT_VOCAB, codebook_size=CODEBOOK,
+                          num_vq_tokens=N_IMG, gen_proj_depth=gen_proj_depth)
+
+
+def _build_pair(ref_unigen, torch, tmp_path_factory, gen_proj_depth=0, seed=0):
+    """(reference UniGen fp32 random weights, our params imported from it)."""
+    torch.manual_seed(seed)
+    ref = ref_unigen.UniGen(
+        w_und_encoder=False, vocab_size=VOCAB, llm_vocab_size=TEXT_VOCAB,
+        llm_model_path=_tiny_qwen2_config_dir(tmp_path_factory),
+        codebook_size=CODEBOOK, num_vq_tokens=N_IMG, load_from_pretrained=True,
+        gen_proj_depth=gen_proj_depth)
+    ref = ref.eval().float()
+    from unigen_tpu.utils import hf_import
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    cfg = _our_config(gen_proj_depth)
+    params = hf_import.import_unigen(sd, cfg)
+    return ref, cfg, params
+
+
+@pytest.fixture(scope="module")
+def pair(ref_models, torch, tmp_path_factory):
+    return _build_pair(ref_models[0], torch, tmp_path_factory)
+
+
+def _ref_prompting(torch):
+    from _reference import load_reference_module
+    return load_reference_module("training/prompting_utils.py", "ref_masks_parity")
+
+
+# ---------------------------------------------------------------------------
+# (a) full-model 3-task forward parity
+# ---------------------------------------------------------------------------
+
+def _mixed_batch(rng, bt=2, bl=1, bm=1):
+    """All rows length L with t2i layout [text][soi][img][eoi]; labels with -100."""
+    L = 8 + 1 + N_IMG + 1
+    b = bt + bl + bm
+    ids = rng.integers(4, TEXT_VOCAB, size=(b, L))
+    labels = rng.integers(4, TEXT_VOCAB, size=(b, L))
+    labels[rng.random((b, L)) < 0.3] = -100
+    # t2i rows: trailing image block, some masked
+    for i in range(bt):
+        ids[i, 8] = SOI
+        ids[i, -1] = EOI
+        img = rng.integers(0, CODEBOOK, size=N_IMG) + TEXT_VOCAB
+        masked = rng.random(N_IMG) < 0.5
+        ids[i, 9:9 + N_IMG] = np.where(masked, VOCAB - 1, img)
+        labels[i, 9:9 + N_IMG] = np.where(masked, img, -100)
+    # mmu rows: leading image block
+    for i in range(b - bm, b):
+        ids[i, 1] = SOI
+        ids[i, 2:2 + N_IMG] = rng.integers(0, CODEBOOK, size=N_IMG) + TEXT_VOCAB
+        ids[i, 2 + N_IMG] = EOI
+    return ids, labels
+
+
+def test_forward_3task_parity(pair, ref_models, torch):
+    """Reference UniGen.forward vs ours: logits + (loss_t2i, loss_lm, loss_mmu).
+
+    The per-task omni masks (predict-next for t2i, causal for lm, mmu mask for
+    mmu) are built per sub-batch as the reference trainer does (train.py:560+)
+    with our golden-parity-tested builders, then handed identically to both
+    frameworks (additive float form for torch)."""
+    ref, cfg, params = pair
+    from unigen_tpu.models import unigen as U
+    from unigen_tpu.ops import masks as M
+
+    rng = np.random.default_rng(0)
+    ids, labels = _mixed_batch(rng)
+    ids_j = jnp.asarray(ids)
+    mask_j = jnp.concatenate([
+        M.create_attention_mask_predict_next(ids_j[:2], PAD, SOI, EOI,
+                                             rm_pad_in_image=True),
+        M.causal_mask_from_attention((ids_j[2:3] != PAD).astype(jnp.int32)),
+        M.create_attention_mask_for_mmu(ids_j[3:4], eoi_id=EOI),
+    ], axis=0)
+    mask_np = np.asarray(mask_j)
+    mask_t = torch.tensor((1.0 - mask_np.astype(np.float32))
+                          * torch.finfo(torch.float32).min)
+    with torch.no_grad():
+        r_logits, r_t2i, r_lm, r_mmu = ref(
+            input_ids=torch.tensor(ids), attention_mask=mask_t,
+            labels=torch.tensor(labels),
+            batch_size_t2i=2, batch_size_lm=1, batch_size_mmu=1,
+            num_vq_tokens=N_IMG)
+
+    o_logits, o_t2i, o_lm, o_mmu = U.forward(
+        params, cfg, input_ids=ids_j, attention_mask=mask_j,
+        labels=jnp.asarray(labels), batch_size_t2i=2, batch_size_lm=1,
+        batch_size_mmu=1)
+
+    np.testing.assert_allclose(np.asarray(o_logits), r_logits.numpy(),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(float(o_t2i), float(r_t2i), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(float(o_lm), float(r_lm), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(float(o_mmu), float(r_mmu), rtol=1e-4, atol=1e-5)
+
+
+def test_forward_gen_projector_parity(ref_models, torch, tmp_path_factory):
+    """gen-projector variant: img_head logits + t2i loss (reference :255-268,296-306)."""
+    ref, cfg, params = _build_pair(ref_models[0], torch, tmp_path_factory,
+                                   gen_proj_depth=2, seed=1)
+    pm = _ref_prompting(torch)
+    from unigen_tpu.models import unigen as U
+    from unigen_tpu.ops import masks as M
+
+    rng = np.random.default_rng(1)
+    bt, L = 2, 8 + 1 + N_IMG + 1
+    ids = rng.integers(4, TEXT_VOCAB, size=(bt, L))
+    labels = np.full((bt, L), -100)
+    ids[:, 8] = SOI
+    ids[:, -1] = EOI
+    img = rng.integers(0, CODEBOOK, size=(bt, N_IMG))
+    masked = rng.random((bt, N_IMG)) < 0.5
+    ids[:, 9:9 + N_IMG] = np.where(masked, CODEBOOK, img)  # codebook-space + mask id
+    labels[:, 9:9 + N_IMG] = np.where(masked, img, -100)
+
+    ids_t = torch.tensor(ids)
+    mask_t = pm.create_attention_mask_predict_next(ids_t, PAD, SOI, EOI,
+                                                   rm_pad_in_image=True)
+    with torch.no_grad():
+        r_logits, r_t2i, _, _ = ref(
+            input_ids=ids_t, attention_mask=mask_t, labels=torch.tensor(labels),
+            batch_size_t2i=bt, num_vq_tokens=N_IMG)
+
+    mask_j = M.create_attention_mask_predict_next(jnp.asarray(ids), PAD, SOI, EOI,
+                                                  rm_pad_in_image=True)
+    o_logits, o_t2i, _, _ = U.forward(
+        params, cfg, input_ids=jnp.asarray(ids), attention_mask=mask_j,
+        labels=jnp.asarray(labels), batch_size_t2i=bt)
+    np.testing.assert_allclose(np.asarray(o_logits), r_logits.numpy(),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(float(o_t2i), float(r_t2i), rtol=1e-4, atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# (b) token-exact t2i_generate under shared noise
+# ---------------------------------------------------------------------------
+
+def _t2i_prompts(rng, b=2):
+    """[6 text][soi][N mask][eoi] cond + uncond prompts (no padding)."""
+    def one():
+        ids = rng.integers(4, TEXT_VOCAB, size=(b, 6 + 1 + N_IMG + 1))
+        ids[:, 6] = SOI
+        ids[:, 7:7 + N_IMG] = VOCAB - 1
+        ids[:, -1] = EOI
+        return ids
+    return one(), one()
+
+
+@pytest.mark.parametrize("reuse_prefix_cache", [True, False])
+def test_t2i_generate_token_exact(pair, ref_models, torch, monkeypatch,
+                                  reuse_prefix_cache):
+    """Identical uniform noise into both samplers => identical token grids.
+
+    The reference consumes the shared noise through a patched torch.multinomial
+    (Gumbel-max over log-probs — draw-identical to categorical sampling) and a
+    patched models.sampling.gumbel_noise; ours through the noise= hook. Any
+    mismatch is a real divergence in logits / CFG / schedule / re-masking."""
+    ref, cfg, params = pair
+    _, ref_sampling, _ = ref_models
+    pm = _ref_prompting(torch)
+    from unigen_tpu.generation import t2i
+    from unigen_tpu.ops import masks as M
+
+    T, B = 5, 2
+    rng = np.random.default_rng(42)
+    ids, uncond = _t2i_prompts(rng, B)
+    u_sample = rng.random((T, B, N_IMG, CODEBOOK), dtype=np.float64).astype(np.float32)
+    u_mask = rng.random((T, B, N_IMG), dtype=np.float64).astype(np.float32)
+
+    # --- reference side, noise injected ---
+    sample_q = list(u_sample)
+    mask_q = list(u_mask)
+
+    def _gumbel(u):
+        # -log(-log(u)) with both log inputs clamped away from zero, matching
+        # ops/sampling.py::gumbel_noise and the reference's safe log (:20-26)
+        inner = -torch.log(torch.clamp(u, min=1e-20))
+        return -torch.log(torch.clamp(inner, min=1e-20))
+
+    def fake_multinomial(probs, num_samples, generator=None, **kw):
+        assert num_samples == 1
+        u = torch.tensor(sample_q.pop(0).reshape(-1, probs.shape[-1]))
+        idx = (torch.log(torch.clamp(probs, min=1e-20)) + _gumbel(u)).argmax(dim=-1)
+        return idx[:, None]
+
+    def fake_gumbel_noise(t, generator=None):
+        return _gumbel(torch.tensor(mask_q.pop(0)).reshape(t.shape))
+
+    monkeypatch.setattr(torch, "multinomial", fake_multinomial)
+    monkeypatch.setattr(ref_sampling, "gumbel_noise", fake_gumbel_noise)
+
+    both = torch.tensor(np.concatenate([ids, uncond], axis=0))
+    mask_t = pm.create_attention_mask_predict_next(both, PAD, SOI, EOI,
+                                                   rm_pad_in_image=True)
+    with torch.no_grad():
+        r_tokens = ref.t2i_generate(
+            input_ids=torch.tensor(ids), uncond_input_ids=torch.tensor(uncond),
+            attention_mask=mask_t, temperature=1.0, timesteps=T,
+            guidance_scale=6, image_token_num_per_image=N_IMG,
+            text_vocab_size=TEXT_VOCAB)
+    assert not sample_q and not mask_q  # every step consumed its noise
+
+    # --- our side, same noise through the hook ---
+    mask_j = M.create_attention_mask_predict_next(
+        jnp.asarray(np.concatenate([ids, uncond], axis=0)), PAD, SOI, EOI,
+        rm_pad_in_image=True)
+    o_tokens = t2i.t2i_generate(
+        params, cfg, jax.random.key(0), jnp.asarray(ids), mask_j,
+        uncond_input_ids=jnp.asarray(uncond), temperature=1.0, timesteps=T,
+        guidance_scale=6.0, pad_id=PAD, reuse_prefix_cache=reuse_prefix_cache,
+        noise=(jnp.asarray(u_sample), jnp.asarray(u_mask)))
+
+    np.testing.assert_array_equal(np.asarray(o_tokens), r_tokens.numpy())
+
+
+# ---------------------------------------------------------------------------
+# (c) greedy mmu_generate parity
+# ---------------------------------------------------------------------------
+
+def test_mmu_generate_greedy_token_exact(pair, ref_models, torch):
+    """Greedy VQA decode: cached prefix-LM loop vs the reference's re-forward
+    loop (unigen.py:523-581) — token-for-token."""
+    ref, cfg, params = pair
+    pm = _ref_prompting(torch)
+    from unigen_tpu.generation import decode
+    from unigen_tpu.ops import masks as M
+
+    rng = np.random.default_rng(7)
+    L = 2 + N_IMG + 1 + 6
+    ids = rng.integers(4, TEXT_VOCAB, size=(1, L))
+    ids[0, 1] = SOI
+    ids[0, 2:2 + N_IMG] = rng.integers(0, CODEBOOK, size=N_IMG) + TEXT_VOCAB
+    ids[0, 2 + N_IMG] = EOI
+
+    n_new = 6
+    ids_t = torch.tensor(ids)
+    mask_t = pm.create_attention_mask_for_mmu(ids_t, eoi_id=EOI)
+    with torch.no_grad():
+        r_tokens = [int(t) for t in ref.mmu_generate(
+            idx=ids_t, attention_mask=mask_t, max_new_tokens=n_new,
+            temperature=0.0)]
+
+    mask_j = M.create_attention_mask_for_mmu(jnp.asarray(ids), eoi_id=EOI)
+    o_tokens = decode.mmu_generate(
+        params, cfg, jax.random.key(0), input_ids=jnp.asarray(ids),
+        attention_mask=mask_j, prompt_len=jnp.asarray([L]),
+        max_new_tokens=n_new, temperature=0.0)
+    assert np.asarray(o_tokens)[0].tolist() == r_tokens
+
+
+# ---------------------------------------------------------------------------
+# (d) MAGViTv2 tokenizer parity through the converter
+# ---------------------------------------------------------------------------
+
+def test_magvit_encode_decode_parity(ref_models, torch):
+    """Tiny VQGAN from the reference's own modules -> our converter -> same
+    codes and reconstructions (reference magvitv2.py:411-441)."""
+    _, _, ref_magvit = ref_models
+    from unigen_tpu.models import magvit as MV
+
+    torch.manual_seed(0)
+    enc = ref_magvit.VQGANEncoder(ch=32, ch_mult=[1, 2], num_res_blocks=[1, 1],
+                                  attn_resolutions=[8], resolution=16,
+                                  z_channels=4)
+    dec = ref_magvit.VQGANDecoder(ch=32, ch_mult=[1, 2], num_res_blocks=[1, 1],
+                                  attn_resolutions=[8], resolution=16,
+                                  z_channels=4)
+    quant = ref_magvit.LFQuantizer(num_codebook_entry=16, codebook_dim=4,
+                                   beta=0.25, entropy_multiplier=0.1,
+                                   commit_loss_multiplier=0.1)
+
+    class TinyMV(torch.nn.Module):
+        get_code = ref_magvit.MAGVITv2.get_code
+        decode_code = ref_magvit.MAGVITv2.decode_code
+
+        def __init__(self):
+            super().__init__()
+            self.encoder, self.decoder, self.quantize = enc, dec, quant
+
+    tm = TinyMV().eval().float()
+    cfg = MV.MagvitConfig(ch=32, enc_ch_mult=(1, 2), enc_num_res_blocks=(1, 1),
+                          dec_ch_mult=(1, 2), dec_num_res_blocks=(1, 1),
+                          attn_resolutions=(8,), resolution=16, z_channels=4)
+    sd = {k: v.detach().numpy() for k, v in tm.state_dict().items()}
+    params = MV.convert_torch_state_dict(sd, cfg)
+
+    rng = np.random.default_rng(0)
+    px = rng.uniform(-1, 1, size=(2, 16, 16, 3)).astype(np.float32)
+    with torch.no_grad():
+        r_codes = tm.get_code(torch.tensor(px.transpose(0, 3, 1, 2)))
+        r_px = tm.decode_code(r_codes)
+
+    o_codes = MV.get_code(params, cfg, jnp.asarray(px))
+    np.testing.assert_array_equal(np.asarray(o_codes).reshape(2, -1),
+                                  r_codes.numpy())
+    o_px = MV.decode_code(params, cfg, o_codes)
+    np.testing.assert_allclose(np.asarray(o_px).transpose(0, 3, 1, 2),
+                               r_px.numpy(), rtol=1e-3, atol=1e-4)

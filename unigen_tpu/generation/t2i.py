@@ -18,7 +18,7 @@ temperature decay (``temperature *= (1 - ratio)`` rebinds each step, unigen.py:4
 """
 from __future__ import annotations
 
-from typing import Callable, Optional
+from typing import Callable, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -63,6 +63,7 @@ def t2i_generate(
     image_token_num_per_image: Optional[int] = None,
     reuse_prefix_cache: bool = True,
     pad_id: Optional[int] = None,
+    noise: Optional[Tuple[Array, Array]] = None,
 ) -> Array:
     """MaskGIT masked-token parallel decoding (reference: models/unigen.py:344-455).
 
@@ -76,19 +77,26 @@ def t2i_generate(
     cached path to exclude left-padding keys (defaults to the id at position 0
     when padding is present is NOT inferred — pass it; without it and without
     padding the mask reduces to all-visible prefix).
+
+    ``noise`` is the shared-noise hook for cross-framework token-parity tests:
+    a pair of pre-drawn uniform[0,1) arrays (u_sample [T,B,N,CB], u_mask [T,B,N])
+    consumed instead of the PRNG key — two samplers fed identical noise and
+    identical logits emit identical tokens (tests/test_model_parity.py drives
+    the torch reference through the same arrays).
     """
     n = image_token_num_per_image or cfg.num_vq_tokens
     if reuse_prefix_cache:
         return _t2i_generate_prefix_cached(
             params, cfg, key, input_ids, uncond_input_ids, temperature, timesteps,
-            guidance_scale, noise_schedule, n, pad_id)
+            guidance_scale, noise_schedule, n, pad_id, noise)
     return _t2i_generate_full(
         params, cfg, key, input_ids, attention_mask, uncond_input_ids, temperature,
-        timesteps, guidance_scale, noise_schedule, n)
+        timesteps, guidance_scale, noise_schedule, n, noise)
 
 
 def _t2i_generate_full(params, cfg, key, input_ids, attention_mask, uncond_input_ids,
-                       temperature, timesteps, guidance_scale, noise_schedule, n):
+                       temperature, timesteps, guidance_scale, noise_schedule, n,
+                       noise=None):
     """Reference-shaped path: full forward over the whole sequence each step."""
     mask_id = cfg.mask_token_id
     bsz = input_ids.shape[0]
@@ -110,7 +118,8 @@ def _t2i_generate_full(params, cfg, key, input_ids, attention_mask, uncond_input
         raw = input_ids[:, -(n + 1):-1]
         init_ids = jnp.where(raw == mask_id, mask_id, raw - cfg.text_vocab_len)
 
-    def step(carry, s):
+    def step(carry, xs):
+        s, inj = xs
         ids_cb, temp, k = carry
         k, k_sample, k_mask = jax.random.split(k, 3)
 
@@ -126,26 +135,32 @@ def _t2i_generate_full(params, cfg, key, input_ids, attention_mask, uncond_input
 
         new_ids, sampled, temp = _maskgit_update(
             k_sample, k_mask, logits, ids_cb, s, temp, timesteps, n, mask_id,
-            noise_schedule)
+            noise_schedule, inj)
         return (new_ids, temp, k), sampled
 
     init = (init_ids, jnp.asarray(temperature, jnp.float32), key)
-    (_, _, _), sampled_seq = jax.lax.scan(step, init, jnp.arange(timesteps))
+    (_, _, _), sampled_seq = jax.lax.scan(step, init, (jnp.arange(timesteps), noise))
     return sampled_seq[-1]
 
 
 def _maskgit_update(k_sample, k_mask, logits, ids_cb, s, temp, timesteps, n,
-                    mask_id, noise_schedule):
+                    mask_id, noise_schedule, inj=None):
     """One MaskGIT confidence re-masking step (shared by both t2i paths).
 
     Sampling runs directly on logits via Gumbel-max — draw-identical to
     categorical-over-softmax (the row-wise logsumexp shift cancels under argmax)
     while skipping the materialized [B, N, 8192] probability tensor.
+
+    ``inj``: optional (u_sample [B,N,CB], u_mask [B,N]) pre-drawn uniforms for
+    the shared-noise cross-framework parity mode (see t2i_generate docstring).
     """
     # barrier: keeps XLA from fusing the CFG combine + head matmul + gumbel into
     # one kernel whose stack tile overflows scoped VMEM at batch >= 8
     logits = jax.lax.optimization_barrier(logits)
-    noise = S.gumbel_noise(k_sample, logits.shape, logits.dtype)
+    if inj is not None:
+        noise = -S.safe_log(-S.safe_log(inj[0].astype(logits.dtype)))
+    else:
+        noise = S.gumbel_noise(k_sample, logits.shape, logits.dtype)
     sampled = jnp.argmax(logits + noise, axis=-1)
     unknown = ids_cb == mask_id
     sampled = jnp.where(unknown, sampled, ids_cb)
@@ -161,14 +176,15 @@ def _maskgit_update(k_sample, k_mask, logits, ids_cb, s, temp, timesteps, n,
         1.0, jnp.minimum(unknown.sum(axis=-1, keepdims=True).astype(jnp.float32) - 1.0,
                          mask_len))
     temp = temp * (1.0 - ratio)  # compounding decay, as in the reference
-    masking = S.mask_by_random_topk(k_mask, mask_len, selected, temp)
+    masking = S.mask_by_random_topk(k_mask, mask_len, selected, temp,
+                                    noise=None if inj is None else inj[1])
     new_ids = jnp.where(masking, mask_id, sampled)
     return new_ids, sampled, temp
 
 
 def _t2i_generate_prefix_cached(params, cfg, key, input_ids, uncond_input_ids,
                                 temperature, timesteps, guidance_scale,
-                                noise_schedule, n, pad_id):
+                                noise_schedule, n, pad_id, noise=None):
     """Prefix-KV-cached MaskGIT: prefill the causal text prefix once, then per
     step forward only the n+1 image/suffix tokens against the cache."""
     mask_id = cfg.mask_token_id
@@ -219,7 +235,8 @@ def _t2i_generate_prefix_cached(params, cfg, key, input_ids, uncond_input_ids,
         raw = input_ids[:, -(n + 1):-1]
         init_ids = jnp.where(raw == mask_id, mask_id, raw - cfg.text_vocab_len)
 
-    def step(carry, s):
+    def step(carry, xs):
+        s, inj = xs
         ids_cb, temp, k, cache_c = carry
         k, k_sample, k_mask = jax.random.split(k, 3)
         img_embeds = _embed_image_tokens(params, cfg, ids_cb)
@@ -236,11 +253,11 @@ def _t2i_generate_prefix_cached(params, cfg, key, input_ids, uncond_input_ids,
             logits = guidance_scale * (cond - uncond) + uncond
         new_ids, sampled, temp = _maskgit_update(
             k_sample, k_mask, logits, ids_cb, s, temp, timesteps, n, mask_id,
-            noise_schedule)
+            noise_schedule, inj)
         return (new_ids, temp, k, cache_c), sampled
 
     init = (init_ids, jnp.asarray(temperature, jnp.float32), key, cache)
-    _, sampled_seq = jax.lax.scan(step, init, jnp.arange(timesteps))
+    _, sampled_seq = jax.lax.scan(step, init, (jnp.arange(timesteps), noise))
     return sampled_seq[-1]
 
 

@@ -9,7 +9,7 @@ from __future__ import annotations
 
 import math
 from functools import partial
-from typing import Callable
+from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp
@@ -39,7 +39,9 @@ def gumbel_sample(key: Array, logits: Array, temperature: float = 1.0, axis: int
     return jnp.argmax(logits / max(temperature, 1e-10) + noise, axis=axis)
 
 
-def mask_by_random_topk(key: Array, mask_len: Array, probs: Array, temperature: Array | float = 1.0) -> Array:
+def mask_by_random_topk(key: Array, mask_len: Array, probs: Array,
+                        temperature: Array | float = 1.0,
+                        noise: Optional[Array] = None) -> Array:
     """Choose which positions to re-mask for the next MaskGIT step.
 
     Adds Gumbel noise to log-confidences and masks the ``mask_len`` lowest ones
@@ -50,11 +52,15 @@ def mask_by_random_topk(key: Array, mask_len: Array, probs: Array, temperature: 
       mask_len: [B, 1] int — number of tokens to re-mask per sample.
       probs: [B, N] — confidence of the sampled token at each position.
       temperature: scalar noise temperature (already annealed by the caller).
+      noise: optional pre-drawn uniform[0,1) noise [B, N] used instead of the key
+        (the shared-noise hook for cross-framework token-parity tests).
 
     Returns:
       [B, N] bool — True where the token should be re-masked.
     """
-    confidence = safe_log(probs) + temperature * gumbel_noise(key, probs.shape, probs.dtype)
+    g = (-safe_log(-safe_log(noise.astype(probs.dtype))) if noise is not None
+         else gumbel_noise(key, probs.shape, probs.dtype))
+    confidence = safe_log(probs) + temperature * g
     sorted_confidence = jnp.sort(confidence, axis=-1)
     cut_off = jnp.take_along_axis(sorted_confidence, mask_len.astype(jnp.int32), axis=-1)
     return confidence < cut_off
