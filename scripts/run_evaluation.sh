@@ -1,43 +1,128 @@
 #!/usr/bin/env bash
-# Evaluation orchestration (reference: scripts/run_evaluation.sh:1-288).
+# Evaluation orchestration — generation AND scoring
+# (reference: scripts/run_evaluation.sh:1-288).
 #
 # Subcommands mirror the reference's suites:
-#   geneval  — guidance 6, 50 steps, 4 samples/prompt, text_len 128
-#   dpgbench — guidance 6, 50 steps, 4 samples, text_len 256, 2x2 grids
-#   cot-gen  — CoT-V: n_samples=20 generated, self-rated, top-4 kept
+#   geneval  — generate (guidance 6, 50 steps, 4/prompt, text_len 128)
+#              then score with the GenEval mask2former detector (:136-142)
+#   dpgbench — generate (text_len 256, 2x2 grids) then score with the
+#              mPLUG DPG VQA judge (:168-176)
+#   cot-gen  — CoT-V Best-of-N (n=20, self-rated, top-4), score every selected
+#              dir AND the first-4 no-TTS baseline carve-out (:205-238)
+#   lmms     — lmms-eval task suite over the registered unigen_tpu model (:95-109)
 #
-# External scorers (mask2former GenEval detector, mPLUG DPG VQA, lmms-eval tasks)
-# run on the produced image folders exactly as with the reference outputs.
+# Each scorer degrades to a visible SKIP when its judge isn't installed
+# (run scripts/setup_eval.sh first); generation always runs.
 #
 # Usage: scripts/run_evaluation.sh <suite> <config.yaml> <metadata/prompt file> <outdir> [overrides...]
+#   env: MASK2FORMER_PATH  — detector checkpoint dir for GenEval scoring
+#        LMMS_TASKS        — comma list (default: the reference's 8-task suite)
+#        SKIP_GENERATION=1 — score existing outputs only (re-scoring a run)
 set -euo pipefail
 source "$(dirname "$0")/bash_utils.sh"
+REPO_ROOT="$(cd "$(dirname "$0")/.." && pwd)"
+GENEVAL_ROOT="${REPO_ROOT}/third_party/geneval"
+DPG_ROOT="${REPO_ROOT}/third_party/dpg_bench"
 
-SUITE="${1:?suite: geneval|dpgbench|cot-gen}"
+SUITE="${1:?suite: geneval|dpgbench|cot-gen|lmms}"
 CONFIG="${2:?config.yaml}"
-DATA="${3:?metadata/prompts file}"
+DATA="${3:?metadata/prompts file (lmms: task list)}"
 OUT="${4:?output dir}"
 shift 4 || true
 
+skip() { echo "[run_evaluation] SKIP: $*" >&2; }
+
+# score_geneval <samples_dir> <score_log>   (reference :136-142)
+score_geneval() {
+  local dir="$1" log="$2"
+  if [[ ! -f "${GENEVAL_ROOT}/evaluation/evaluate_images.py" ]]; then
+    skip "GenEval scorer missing (${GENEVAL_ROOT}); run scripts/setup_eval.sh"
+    return 0
+  fi
+  if ! python -c "import mmdet" 2>/dev/null; then
+    skip "mmdetection not installed — GenEval detector scoring needs it"
+    return 0
+  fi
+  run_command_with_errors python "${GENEVAL_ROOT}/evaluation/evaluate_images.py" \
+    "$dir" --outfile "$dir/results.jsonl" \
+    --model-path "${MASK2FORMER_PATH:-third_party/checkpoints/mask2former}"
+  [[ -f "$dir/results.jsonl" ]] && \
+    python "${GENEVAL_ROOT}/evaluation/summary_scores.py" "$dir/results.jsonl" \
+      | tee -a "$log"
+}
+
+# score_dpg <image_root> <res_txt>   (reference :168-176)
+score_dpg() {
+  local dir="$1" res="$2"
+  if [[ ! -f "${DPG_ROOT}/compute_dpg_bench.py" ]]; then
+    skip "DPG scorer missing (${DPG_ROOT}); run scripts/setup_eval.sh"
+    return 0
+  fi
+  run_command_with_errors python "${DPG_ROOT}/compute_dpg_bench.py" \
+    --image-root-path "$dir" --csv "${DPG_ROOT}/dpg_bench.csv" \
+    --res-path "$res" --resolution 256 --pic-num 4 --vqa-model mplug
+}
+
 case "$SUITE" in
   geneval)
-    run_command python "$(dirname "$0")/inference_geneval.py" config="$CONFIG" \
-      inference.metadata_file="$DATA" inference.output_dir="$OUT" \
+    SAMPLES="${OUT}/t2i_samples_step50_scale6"
+    [[ "${SKIP_GENERATION:-0}" == 1 ]] || run_command python "$(dirname "$0")/inference_geneval.py" config="$CONFIG" \
+      inference.metadata_file="$DATA" inference.output_dir="$SAMPLES" \
       inference.n_samples=4 inference.generation_timesteps=50 \
       inference.eval_text_len=128 training.guidance_scale=6 "$@"
+    score_geneval "$SAMPLES" "${OUT}/geneval_score.log"
     ;;
   dpgbench)
-    run_command python "$(dirname "$0")/inference_dpg.py" config="$CONFIG" \
-      inference.prompts_file="$DATA" inference.output_dir="$OUT" \
+    SAMPLES="${OUT}/dpg_bench_step50_scale6"
+    [[ "${SKIP_GENERATION:-0}" == 1 ]] || run_command python "$(dirname "$0")/inference_dpg.py" config="$CONFIG" \
+      inference.prompts_file="$DATA" inference.output_dir="$SAMPLES" \
       inference.n_samples=4 inference.generation_timesteps=50 \
       inference.eval_text_len=256 training.guidance_scale=6 "$@"
+    score_dpg "$SAMPLES" "${OUT}/dpg_bench_score.txt"
     ;;
   cot-gen)
-    run_command python "$(dirname "$0")/inference_cot.py" config="$CONFIG" \
+    [[ "${SKIP_GENERATION:-0}" == 1 ]] || run_command python "$(dirname "$0")/inference_cot.py" config="$CONFIG" \
       inference.metadata_file="$DATA" inference.output_dir="$OUT" \
       inference.n_samples=20 inference.topk=4 \
       inference.generation_timesteps=50 inference.eval_text_len=128 \
       training.guidance_scale=6 "$@"
+    # score every selected dir (reference :205-221)
+    for sel in "${OUT}"/t2i_samples_step*_scale*_selected_prompt_*/; do
+      [[ -d "$sel" ]] || continue
+      name=$(basename "$sel")
+      score_geneval "$sel" "${OUT}/geneval_score_${name#t2i_samples_}.log"
+    done
+    # no-TTS baseline carve-out: first 4 of the 20 candidates (reference :222-238)
+    for all_dir in "${OUT}"/t2i_samples_step*_scale*/; do
+      case "$all_dir" in *_selected_*|*_origin*) continue;; esac
+      ORIGIN="${all_dir%/}_origin"
+      mkdir -p "$ORIGIN"
+      for inst in "$all_dir"*/; do
+        iid=$(basename "$inst")
+        mkdir -p "${ORIGIN}/${iid}/samples"
+        cp "${inst}metadata.jsonl" "${ORIGIN}/${iid}/" 2>/dev/null || true
+        cp "${inst}samples/"0000[0-3].png "${ORIGIN}/${iid}/samples/" 2>/dev/null || true
+      done
+      score_geneval "$ORIGIN" "${OUT}/geneval_score_origin.log"
+    done
+    ;;
+  lmms)
+    # DATA carries the task list for this suite (reference :95-109)
+    TASKS="${LMMS_TASKS:-${DATA}}"
+    if ! python -c "import lmms_eval" 2>/dev/null; then
+      skip "lmms_eval not installed; run scripts/setup_eval.sh"
+      exit 0
+    fi
+    mkdir -p "${OUT}/lmms_eval"
+    MODEL_ARGS="config=${CONFIG}"
+    for extra in "$@"; do MODEL_ARGS="${MODEL_ARGS},${extra}"; done
+    run_command python -m lmms_eval \
+      --model unigen_tpu \
+      --model_args "${MODEL_ARGS}" \
+      --tasks "${TASKS}" \
+      --batch_size 1 \
+      --log_samples \
+      --output_path "${OUT}/lmms_eval"
     ;;
   *)
     echo "unknown suite: $SUITE" >&2

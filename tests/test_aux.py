@@ -197,3 +197,44 @@ def test_profiling_trace_writes(tmp_path):
     for root, _, files in os.walk(d):
         found.extend(files)
     assert found, "no trace files written"
+
+
+def test_run_evaluation_cot_carveout_and_skips(tmp_path):
+    """Scorer harness plumbing: the cot-gen suite builds the no-TTS baseline
+    carve-out (first 4 candidates per instance, reference run_evaluation.sh:
+    222-238) and degrades to visible SKIPs when judges are absent."""
+    import subprocess
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = tmp_path / "evalout"
+    all_dir = out / "t2i_samples_step50_scale6"
+    sel_dir = out / "t2i_samples_step50_scale6_selected_prompt_rule"
+    for inst in ("00000", "00001"):
+        for base, n in ((all_dir, 6), (sel_dir, 4)):
+            d = base / inst / "samples"
+            d.mkdir(parents=True)
+            (base / inst / "metadata.jsonl").write_text('{"prompt": "a cup"}')
+            for i in range(n):
+                (d / f"{i:05}.png").write_bytes(b"png")
+    r = subprocess.run(
+        ["bash", os.path.join(repo, "scripts", "run_evaluation.sh"),
+         "cot-gen", "cfg.yaml", "meta.jsonl", str(out)],
+        env=dict(os.environ, SKIP_GENERATION="1"),
+        capture_output=True, text=True, timeout=300)
+    assert r.returncode == 0, r.stderr
+    # carve-out built: 4 of the 6 candidates per instance
+    origin = out / "t2i_samples_step50_scale6_origin"
+    for inst in ("00000", "00001"):
+        files = sorted(os.listdir(origin / inst / "samples"))
+        assert files == [f"{i:05}.png" for i in range(4)]
+        assert (origin / inst / "metadata.jsonl").exists()
+    # scorers degraded loudly, once per selected dir + once for the carve-out
+    assert r.stderr.count("SKIP") >= 2
+
+
+def test_setup_eval_degrades_offline():
+    import subprocess
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    r = subprocess.run(["bash", os.path.join(repo, "scripts", "setup_eval.sh")],
+                       capture_output=True, text=True, timeout=300)
+    assert r.returncode == 0, r.stderr
+    assert "done" in r.stdout

@@ -235,3 +235,125 @@ def test_native_tarloader_resample_is_infinite(tmp_path):
     got = [next(it)["__key__"] for _ in range(7)]  # > shard size: keeps streaming
     assert len(got) == 7
     stream.close()
+
+
+def test_preprocess_plain_caption_pretrain():
+    """plain prompt type: '<caption><sep>' + eos, user-turn prefix masked
+    (reference llava_data_unified.py:207-230)."""
+    from unigen_tpu.data.llava import preprocess_plain
+    tok = MockTokenizer()
+    srcs = [[{"from": "human", "value": "<image>"},
+             {"from": "gpt", "value": "a green field"}]]
+    out = preprocess_plain(srcs, tok)
+    expected = tok("a green field\n")["input_ids"] + [tok.eos_token_id]
+    assert out["input_ids"][0] == expected
+    # empty user turn -> no masked prefix; labels == ids
+    assert out["labels"][0] == expected
+    assert out["input_ids_system"][0] == []
+
+
+def test_naflex_preprocess_shapes():
+    from unigen_tpu.data.transform import naflex_preprocess
+    from PIL import Image
+    img = Image.new("RGB", (100, 60), (10, 20, 30))
+    out = naflex_preprocess(img, patch_size=8, max_num_patches=32)
+    assert out["pixel_values"].shape == (32, 8 * 8 * 3)
+    h, w = out["spatial_shapes"]
+    assert h * w <= 32
+    assert out["pixel_attention_mask"].sum() == h * w
+    # aspect roughly preserved (wide image -> more width patches)
+    assert w > h
+    # padded slots zero, valid slots normalized to [-1, 1]
+    assert np.all(out["pixel_values"][h * w:] == 0)
+    assert np.all(np.abs(out["pixel_values"][: h * w]) <= 1.0)
+
+
+def test_llava_dataset_naflex_mode(tmp_path):
+    """NaFlex loader outputs: patchified images + pixel_attention_mask +
+    spatial_shapes batched at the loader (reference llava_data_unified.py:
+    316-327, collate_fn :415-421)."""
+    from PIL import Image
+    os.makedirs(tmp_path / "imgs", exist_ok=True)
+    Image.new("RGB", (64, 32), (0, 200, 0)).save(tmp_path / "imgs" / "a.png")
+    data = [{"image": "a.png",
+             "conversations": [{"from": "human", "value": "<image>\nwhat?"},
+                               {"from": "gpt", "value": "green"}]}]
+    jpath = str(tmp_path / "d.json")
+    with open(jpath, "w") as f:
+        json.dump(data, f)
+    ds = LlavaDataset([jpath], str(tmp_path / "imgs"), MockTokenizer(),
+                      per_device_batch_size=2, max_length=48,
+                      visual_mode="naflex", naflex_patch_size=8,
+                      naflex_max_patches=16, with_system=True)
+    batch = next(iter(ds))
+    assert batch["images"].shape == (2, 16, 8 * 8 * 3)
+    assert batch["pixel_attention_mask"].shape == (2, 16)
+    assert batch["spatial_shapes"].shape == (2, 2)
+    h, w = batch["spatial_shapes"][0]
+    assert batch["pixel_attention_mask"][0].sum() == h * w
+
+
+def test_sft_step_naflex_from_loader(tmp_path):
+    """SFT-with-NaFlex is drivable from data: LlavaDataset('naflex') batch ->
+    make_sft_train_step with a Siglip2 tower -> finite losses."""
+    import jax
+    import jax.numpy as jnp
+    from PIL import Image
+    from unigen_tpu.models import magvit as MV
+    from unigen_tpu.models import siglip2 as SG2
+    from unigen_tpu.models import unigen as U
+    from unigen_tpu.training import lr_schedules as LRS
+    from unigen_tpu.training.optimizer import make_optimizer
+    from unigen_tpu.training.sft import SFTStepConfig, make_sft_train_step
+    from unigen_tpu.training.train_step import init_train_state
+
+    os.makedirs(tmp_path / "imgs", exist_ok=True)
+    Image.new("RGB", (32, 16), (0, 100, 250)).save(tmp_path / "imgs" / "a.png")
+    data = [{"image": "a.png",
+             "conversations": [{"from": "human", "value": "<image>\nwhat?"},
+                               {"from": "gpt", "value": "blue"}]}]
+    jpath = str(tmp_path / "d.json")
+    with open(jpath, "w") as f:
+        json.dump(data, f)
+
+    tok = MockTokenizer()
+    max_patches, patch = 16, 4
+    ds = LlavaDataset([jpath], str(tmp_path / "imgs"), tok,
+                      per_device_batch_size=2, max_length=24,
+                      visual_mode="naflex", naflex_patch_size=patch,
+                      naflex_max_patches=max_patches)
+    batch = next(iter(ds))
+
+    cfg = U.UniGenConfig.tiny(text_vocab_len=len(tok), w_und_encoder=True,
+                              mm_input_dim=32)
+    vq_cfg = MV.MagvitConfig.tiny(resolution=8, z_channels=5)
+    vs_cfg = SG2.Siglip2Config.tiny(hidden_size=32, num_patches=max_patches,
+                                    patch_size=patch)
+    params = U.init(jax.random.key(0), cfg)
+    vs_params = SG2.init(jax.random.key(2), vs_cfg)
+
+    b = 2
+    part1 = np.random.default_rng(0).integers(3, 100, size=(b, 3))
+    l_conv = batch["input_ids"].shape[1]
+    labels = np.concatenate([np.full((b, 3 + max_patches), -100),
+                             batch["labels"]], axis=1)
+    pos = SG2.resize_positional_embeddings(
+        vs_params["pos_embed"]["weight"], batch["spatial_shapes"], max_patches)
+    sft_batch = {
+        "mmu_part1": jnp.asarray(part1),
+        "mmu_part2": jnp.asarray(batch["input_ids"]),
+        "mmu_labels": jnp.asarray(labels),
+        "mmu_pixel_values": jnp.asarray(batch["images"]),
+        "mmu_pixel_attention_mask": jnp.asarray(batch["pixel_attention_mask"]),
+        "mmu_spatial_shapes": jnp.asarray(batch["spatial_shapes"]),
+        "mmu_pos_embeds": jnp.asarray(pos),
+        "mmu_prompt_len": jnp.asarray([3 + max_patches + l_conv] * b),
+    }
+    tx = make_optimizer(params, 1e-3, LRS.get_scheduler("constant"))
+    tcfg = SFTStepConfig(batch_size_t2i=0, batch_size_lm=0, batch_size_mmu=b)
+    step = jax.jit(make_sft_train_step(cfg, vq_cfg, vs_cfg, tx, tcfg))
+    state = init_train_state(params, tx)
+    state, metrics = step(state, MV.init(jax.random.key(1), vq_cfg), vs_params,
+                          sft_batch, jax.random.key(0))
+    assert np.isfinite(float(metrics["loss_mmu"]))
+    assert int(state.step) == 1

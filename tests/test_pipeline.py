@@ -150,10 +150,11 @@ def test_greedy_samples_byscore():
 
 
 def test_run_cot_best_of_n(pipe):
-    res = COT.run_cot(pipe, ["a photo of a cup"], jax.random.key(0), n_samples=3,
-                      topk=2, guidance_scale=2.0, timesteps=2, eval_text_len=8,
-                      style="rule", max_new_tokens=3)
-    assert len(res) == 1
+    res, table, stats = COT.run_cot(pipe, ["a photo of a cup"], jax.random.key(0),
+                                    n_samples=3, topk=2, guidance_scale=2.0,
+                                    timesteps=2, eval_text_len=8,
+                                    style="rule", max_new_tokens=3)
+    assert len(res) == 1 and len(table) == 3 and len(stats) == 3
     assert res[0]["selected"].shape == (2, 8, 8, 3)
     assert len(res[0]["ratings"]) == 3  # 1 question x 3 candidates
 
@@ -181,9 +182,10 @@ def test_understand_naflex_tower():
 
 def test_run_cot_with_questions_map(pipe):
     qmap = {"a strange prompt": ["Is there a cup?", "Is it blue?"]}
-    res = COT.run_cot(pipe, ["a strange prompt"], jax.random.key(0), n_samples=2,
-                      topk=1, guidance_scale=0.0, timesteps=1, eval_text_len=6,
-                      style="rule", max_new_tokens=2, questions_map=qmap)
+    res, _, _ = COT.run_cot(pipe, ["a strange prompt"], jax.random.key(0),
+                            n_samples=2, topk=1, guidance_scale=0.0, timesteps=1,
+                            eval_text_len=6, style="rule", max_new_tokens=2,
+                            questions_map=qmap)
     assert len(res[0]["ratings"]) == 4  # 2 questions x 2 candidates
 
 
@@ -214,9 +216,31 @@ def test_lmms_adapter_generate_until(pipe):
 
 def test_run_cot_think_style(pipe):
     """think-style rating: one CoT prompt per candidate, QA pairs parsed."""
-    res = COT.run_cot(pipe, ["a photo of a cup"], jax.random.key(2), n_samples=2,
-                      topk=1, guidance_scale=0.0, timesteps=1, eval_text_len=6,
-                      style="think", max_new_tokens=4)
+    res, _, _ = COT.run_cot(pipe, ["a photo of a cup"], jax.random.key(2),
+                            n_samples=2, topk=1, guidance_scale=0.0, timesteps=1,
+                            eval_text_len=6, style="think", max_new_tokens=4)
     assert len(res[0]["ratings"]) >= 2  # >=1 parsed QA row per candidate
     assert all(r["answer"] in ("yes", "no") for r in res[0]["ratings"])
     assert res[0]["selected"].shape[0] == 1
+
+
+def test_run_cot_sharded_matches_single_process(pipe):
+    """Prompt sharding by process index is sample- and selection-identical to
+    the single-process run (per-prompt keys fold on the global index)."""
+    prompts = ["a photo of a cup", "a photo of a dog"]
+    kw = dict(n_samples=2, topk=1, guidance_scale=0.0, timesteps=1,
+              eval_text_len=6, style="rule", max_new_tokens=2)
+    res1, table1, stats1 = COT.run_cot(pipe, prompts, jax.random.key(5), **kw)
+
+    # simulate 2 processes: each rates its shard, tables merged manually
+    res_a, table_a, _ = COT.run_cot(pipe, prompts, jax.random.key(5),
+                                    process_index=0, process_count=2,
+                                    gather=False, **kw)
+    res_b, table_b, _ = COT.run_cot(pipe, prompts, jax.random.key(5),
+                                    process_index=1, process_count=2,
+                                    gather=False, **kw)
+    merged = sorted(table_a + table_b, key=lambda r: r["image_id"])
+    assert merged == sorted(table1, key=lambda r: r["image_id"])
+    by_idx = {r["index"]: r for r in res_a + res_b}
+    for r in res1:
+        np.testing.assert_array_equal(r["selected"], by_idx[r["index"]]["selected"])

@@ -52,6 +52,42 @@ def pad_image(image, target_resolution: Tuple[int, int]) -> np.ndarray:
     return canvas
 
 
+def naflex_preprocess(image, patch_size: int = 16, max_num_patches: int = 256):
+    """SigLIP2-NaFlex processor: aspect-preserving resize to ≤ max_num_patches
+    patches with patch-multiple dims, rescale + normalize(0.5, 0.5), patchify,
+    pad to max_num_patches (the HF Siglip2ImageProcessorFast semantics the
+    reference loads at llava_data_unified.py:316-321).
+
+    Returns {'pixel_values': [maxP, 3*p*p] f32, 'pixel_attention_mask': [maxP]
+    int32, 'spatial_shapes': [2] int32 (h, w in patches)}.
+    """
+    from PIL import Image
+    img = _to_pil(image).convert("RGB")
+    w, h = img.size
+    p = patch_size
+    scale = (max_num_patches * p * p / (w * h)) ** 0.5
+    th = max(p, int(round(h * scale / p)) * p)
+    tw = max(p, int(round(w * scale / p)) * p)
+    # rounding can overshoot the patch budget; shrink the longer side until it fits
+    while (th // p) * (tw // p) > max_num_patches:
+        if th >= tw and th > p:
+            th -= p
+        elif tw > p:
+            tw -= p
+        else:
+            break
+    img = img.resize((tw, th), Image.BICUBIC)
+    x = (np.asarray(img, np.float32) / 255.0 - 0.5) / 0.5
+    hp, wp = th // p, tw // p
+    patches = x.reshape(hp, p, wp, p, 3).transpose(0, 2, 1, 3, 4).reshape(hp * wp, -1)
+    out = np.zeros((max_num_patches, patches.shape[-1]), np.float32)
+    out[: patches.shape[0]] = patches
+    mask = np.zeros((max_num_patches,), np.int32)
+    mask[: patches.shape[0]] = 1
+    return {"pixel_values": out, "pixel_attention_mask": mask,
+            "spatial_shapes": np.asarray([hp, wp], np.int32)}
+
+
 def siglip_preprocess(image, image_size: int = 384) -> np.ndarray:
     """SigLIP processor: resize to (size, size) bicubic, rescale 1/255,
     normalize mean=std=0.5 (reference: siglip_encoder.py:37-74).

@@ -156,8 +156,19 @@ def forward(params: PyTree, cfg: Siglip2Config, pixel_values: Array,
     pos = resize_positional_embeddings(params["pos_embed"]["weight"],
                                        np.asarray(spatial_shapes),
                                        pixel_values.shape[1])
+    return forward_with_pos(params, cfg, pixel_values, pixel_attention_mask,
+                            jnp.asarray(pos, cfg.dtype))
+
+
+def forward_with_pos(params: PyTree, cfg: Siglip2Config, pixel_values: Array,
+                     pixel_attention_mask: Array, pos_embeds: Array) -> Array:
+    """NaFlex forward with pre-resized position embeddings [B, maxN, D].
+
+    The jit-safe entry: ``resize_positional_embeddings`` runs host-side (a
+    python loop over a cache), so jitted consumers (the NaFlex SFT step,
+    training/sft.py) precompute ``pos_embeds`` per batch and pass them in."""
     x = _dense(params["patch_embed"], pixel_values.astype(cfg.dtype))
-    x = x + jnp.asarray(pos, cfg.dtype)
+    x = x + pos_embeds.astype(cfg.dtype)
     return encoder_forward(params, cfg, x, pixel_attention_mask)
 
 

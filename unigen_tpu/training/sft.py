@@ -49,7 +49,7 @@ class SFTStepConfig(TrainStepConfig):
 def make_sft_train_step(
     cfg: UniGenConfig,
     vq_cfg: magvit.MagvitConfig,
-    vision_cfg: siglip.SiglipConfig,
+    vision_cfg,
     tx: optax.GradientTransformation,
     tcfg: SFTStepConfig,
 ) -> Callable:
@@ -57,18 +57,34 @@ def make_sft_train_step(
       mmu_part1   [Bm, L1]  prompt-head token ids
       mmu_part2   [Bm, L2]  eoi+conversation token ids
       mmu_labels  [Bm, L1 + P + L2]
-      mmu_pixels  [Bm, S, S, 3]  (S = vision_cfg.image_size, or larger with n_grid)
       mmu_prompt_len [Bm]   valid length for the attention mask
+    and, per tower type:
+      SigLIP (fixed-res, ``vision_cfg: SiglipConfig``):
+        mmu_pixels  [Bm, S, S, 3]  (S = vision_cfg.image_size, or larger with n_grid)
+      SigLIP2-NaFlex (``vision_cfg: Siglip2Config``; loader fields from
+      data/llava.py in 'naflex' mode, reference llava_data_unified.py:316-327):
+        mmu_pixel_values [Bm, P, 3*p*p], mmu_pixel_attention_mask [Bm, P],
+        mmu_spatial_shapes [Bm, 2], mmu_pos_embeds [Bm, P, D] — precompute the
+        latter host-side with siglip2.resize_positional_embeddings (the resize
+        cache is a host loop and cannot trace under jit).
 
     step(state, vq_params, vision_params, batch, key) -> (state, metrics)
     Vision-tower params ride inside ``state.params['vision_tower']`` when the
     tower is trainable; pass them separately as frozen otherwise.
     """
+    from ..models import siglip2
+
     n = cfg.num_vq_tokens
     schedule = S.get_mask_schedule(tcfg.mask_schedule)
-    tile = vision_cfg.image_size
+    naflex = isinstance(vision_cfg, siglip2.Siglip2Config)
+    tile = None if naflex else vision_cfg.image_size
 
-    def vision_features(vision_params, pixels):
+    def vision_features(vision_params, batch):
+        if naflex:
+            return siglip2.forward_with_pos(
+                vision_params, vision_cfg, batch["mmu_pixel_values"],
+                batch["mmu_pixel_attention_mask"], batch["mmu_pos_embeds"])
+        pixels = batch["mmu_pixels"]
         if tcfg.n_grid > 0:
             tiles = grid_tiles(pixels, tcfg.n_grid, tile)
             b, t = tiles.shape[:2]
@@ -116,14 +132,16 @@ def make_sft_train_step(
             total = total + tcfg.lm_coeff * ll
 
         if tcfg.batch_size_mmu > 0:
-            feats = vision_features(vision_params, batch["mmu_pixels"])
+            feats = vision_features(vision_params, batch)
             img_embeds = unigen.mm_project(params, feats)
             e1 = unigen.embed_tokens(params, batch["mmu_part1"])
             e2 = unigen.embed_tokens(params, batch["mmu_part2"])
             embeds = jnp.concatenate([e1, img_embeds.astype(e1.dtype), e2], axis=1)
             b, l, _ = embeds.shape
             att = M.create_attention_mask_for_mmu_vit(
-                b, l, num_tokens=img_embeds.shape[1],
+                b, l,
+                num_tokens=(batch["mmu_spatial_shapes"] if naflex
+                            else img_embeds.shape[1]),
                 prefix_length=batch["mmu_part1"].shape[1])
             keep = jnp.arange(l)[None] < batch["mmu_prompt_len"][:, None]
             att = att & keep[:, None, None, :] & keep[:, None, :, None]

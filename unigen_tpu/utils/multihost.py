@@ -31,6 +31,7 @@ def gather_objects(obj: Any) -> List[Any]:
     buf[jax.process_index(), :len(payload)] = np.frombuffer(payload, np.uint8)
     gathered = np.asarray(multihost_utils.process_allgather(
         jax.numpy.asarray(buf))).sum(axis=0)  # one-hot rows: sum merges
+    gathered = gathered.astype(np.uint8)      # sum promotes to int64; re-narrow
     out = []
     for i in range(jax.process_count()):
         raw = bytes(gathered[i, : int(sizes[i])])
