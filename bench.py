@@ -138,10 +138,12 @@ def main(batch_size: int = 8, timesteps: int = 50, warmup: int = 1, iters: int =
     synced = True
     times = []
     try:
-        codes, _ = phase("sampler compile+warmup", 480,
+        # compile budgets: cold-cache compiles of the 50-step scan over the
+        # relay can take >10 min; the persistent cache makes repeat runs fast
+        codes, _ = phase("sampler compile+warmup", 1800,
                          lambda: sync_codes(sampler(params, ids, uncond,
                                                     jax.random.key(2))))
-        _, _ = phase("decoder compile+warmup", 480,
+        _, _ = phase("decoder compile+warmup", 900,
                      lambda: sync_px(decoder(vq_params,
                                              jnp.asarray(codes, jnp.int32))))
         for i in range(iters):
@@ -190,9 +192,11 @@ def bench_vqa(batch_size: int = 8, prompt_len: int = 600, max_new_tokens: int = 
     cfg = unigen.UniGenConfig.for_qwen25_15b()
     params = jax.jit(lambda k: unigen.init(k, cfg))(jax.random.key(0))
     if quant in ("int8", "int8+kv"):
+        # backbone W8A8 + int8 text head: the head's [D, 160k] read is ~25%
+        # of the decode loop's HBM traffic (BENCH.md decode roofline)
         from unigen_tpu.ops.quantization import quantize_unigen_params
-        params = jax.jit(quantize_unigen_params)(params)
-        print("[bench] vqa backbone quantized to int8", file=sys.stderr)
+        params = jax.jit(lambda p: quantize_unigen_params(p, cfg, lm_head=True))(params)
+        print("[bench] vqa backbone+lm_head quantized to int8", file=sys.stderr)
     rng = np.random.default_rng(0)
     ids = jnp.asarray(rng.integers(10, 1000, size=(batch_size, prompt_len)))
     ids = ids.at[:, 2].set(151665).at[:, 400].set(151666)  # soi .. eoi prefix block

@@ -209,6 +209,27 @@ def test_t2i_int8_confidence_ordering():
     assert rho > 0.95, f"confidence ordering rank corr {rho:.3f}"
 
 
+def test_int8_lm_head_greedy_agreement():
+    """The int8 text head must (a) produce logits close to the bf16 head and
+    (b) preserve the greedy decode's argmax on most positions; vocab_slice
+    must slice the quantized weights consistently."""
+    from unigen_tpu.models import unigen as UU
+    from unigen_tpu.ops.quantization import quantize_unigen_params
+    cfg = UU.UniGenConfig.tiny()
+    params = UU.init(jax.random.key(0), cfg)
+    qparams = quantize_unigen_params(params, cfg, lm_head=True)
+    assert "lm_head_q" in qparams["llm"]
+    h = jax.random.normal(jax.random.key(1), (4, 7, cfg.llm.hidden_size), jnp.float32)
+    l_ref = np.asarray(Q.logits(params["llm"], cfg.llm, h), np.float32)
+    l_q = np.asarray(Q.logits(qparams["llm"], cfg.llm, h), np.float32)
+    agree = (l_ref.argmax(-1) == l_q.argmax(-1)).mean()
+    assert agree >= 0.7, agree
+    # sliced head path hits the same quantized weights
+    sl = (3, 3 + cfg.codebook_size)
+    l_slice = np.asarray(Q.logits(qparams["llm"], cfg.llm, h, vocab_slice=sl), np.float32)
+    np.testing.assert_allclose(l_slice, l_q[..., sl[0]:sl[1]], rtol=1e-5, atol=1e-5)
+
+
 def test_ar_sampler_quantized_cache_runs():
     from unigen_tpu.generation import t2i_generate_ar
     from unigen_tpu.models import unigen as UU

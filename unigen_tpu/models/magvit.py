@@ -43,6 +43,15 @@ class MagvitConfig:
     entropy_multiplier: float = 0.1
     commit_loss_multiplier: float = 0.1
     dtype: Any = jnp.float32
+    # fused Pallas GN+swish+conv kernels (ops/fused_conv.py): "auto" enables
+    # them on TPU only; True forces (interpret mode off-TPU), False disables
+    fused_convs: Any = "auto"
+
+    @property
+    def use_fused_convs(self) -> bool:
+        if self.fused_convs == "auto":
+            return jax.default_backend() == "tpu"
+        return bool(self.fused_convs)
 
     @property
     def codebook_size(self) -> int:
@@ -108,10 +117,21 @@ def _resblock_init(key, cin, cout, dtype):
     return p
 
 
-def resblock(p: Dict, x: Array) -> Array:
+def _fused_gn_conv(conv_p: Dict, gn_p: Optional[Dict], x: Array, fused: bool) -> Array:
+    """conv3x3(swish(GN(x))) — via the fused Pallas kernel when enabled and the
+    shape qualifies (ops/fused_conv.py), else the plain XLA composition."""
+    from ..ops import fused_conv as _fc
+    if fused and _fc.supported(x.shape, conv_p["kernel"].shape[-1]):
+        return _fc.conv3x3_gn_swish(conv_p, gn_p, x)
+    if gn_p is not None:
+        x = swish(group_norm(gn_p, x))
+    return conv2d(conv_p, x)
+
+
+def resblock(p: Dict, x: Array, fused: bool = False) -> Array:
     """Norm-swish-conv x2 with 1x1 shortcut (reference: common_modules.py:340-360)."""
-    h = conv2d(p["conv1"], swish(group_norm(p["norm1"], x)))
-    h = conv2d(p["conv2"], swish(group_norm(p["norm2"], h)))
+    h = _fused_gn_conv(p["conv1"], p["norm1"], x, fused)
+    h = _fused_gn_conv(p["conv2"], p["norm2"], h, fused)
     if "nin_shortcut" in p:
         x = conv2d(p["nin_shortcut"], x)
     return x + h
@@ -143,11 +163,11 @@ def attn_block(p: Dict, x: Array) -> Array:
     return x + conv2d(p["proj_out"], out)
 
 
-def upsample(p: Dict, x: Array) -> Array:
+def upsample(p: Dict, x: Array, fused: bool = False) -> Array:
     """Nearest x2 + conv3x3 (reference: common_modules.py:30-43)."""
     b, h, w, c = x.shape
     x = jnp.broadcast_to(x[:, :, None, :, None, :], (b, h, 2, w, 2, c)).reshape(b, 2 * h, 2 * w, c)
-    return conv2d(p["conv"], x)
+    return _fused_gn_conv(p["conv"], None, x, fused)
 
 
 def downsample(p: Dict, x: Array) -> Array:
@@ -195,19 +215,20 @@ def _init_encoder(key, cfg: MagvitConfig) -> PyTree:
 
 def encoder_forward(p: PyTree, cfg: MagvitConfig, x: Array) -> Array:
     """pixels [B,H,W,3] in [-1,1] -> continuous latents [B,h,w,z]."""
+    fused = cfg.use_fused_convs
     h = conv2d(p["conv_in"], x)
     num_levels = len(cfg.enc_ch_mult)
     for i_level in range(num_levels):
         level = p["down"][i_level]
         for i_block, bp in enumerate(level["block"]):
-            h = resblock(bp, h)
+            h = resblock(bp, h, fused=fused)
             if level["attn"]:
                 h = attn_block(level["attn"][i_block], h)
         if i_level != num_levels - 1:
             h = downsample(level["downsample"], h)
-    h = resblock(p["mid"]["block_1"], h)
+    h = resblock(p["mid"]["block_1"], h, fused=fused)
     h = attn_block(p["mid"]["attn_1"], h)
-    h = resblock(p["mid"]["block_2"], h)
+    h = resblock(p["mid"]["block_2"], h, fused=fused)
     h = conv2d(p["conv_out"], swish(group_norm(p["norm_out"], h)))
     return conv2d(p["quant_conv"], h)
 
@@ -247,20 +268,21 @@ def _init_decoder(key, cfg: MagvitConfig) -> PyTree:
 
 def decoder_forward(p: PyTree, cfg: MagvitConfig, z: Array) -> Array:
     """latents [B,h,w,z] (quantized) -> pixels [B,H,W,3]."""
+    fused = cfg.use_fused_convs
     z = conv2d(p["post_quant_conv"], z)
     h = conv2d(p["conv_in"], z)
-    h = resblock(p["mid"]["block_1"], h)
+    h = resblock(p["mid"]["block_1"], h, fused=fused)
     h = attn_block(p["mid"]["attn_1"], h)
-    h = resblock(p["mid"]["block_2"], h)
+    h = resblock(p["mid"]["block_2"], h, fused=fused)
     num_levels = len(cfg.dec_ch_mult)
     for i_level in reversed(range(num_levels)):
         level = p["up"][i_level]
         for i_block, bp in enumerate(level["block"]):
-            h = resblock(bp, h)
+            h = resblock(bp, h, fused=fused)
             if level["attn"]:
                 h = attn_block(level["attn"][i_block], h)
         if i_level != 0:
-            h = upsample(level["upsample"], h)
+            h = upsample(level["upsample"], h, fused=fused)
     return conv2d(p["conv_out"], swish(group_norm(p["norm_out"], h)))
 
 

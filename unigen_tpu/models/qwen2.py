@@ -369,7 +369,18 @@ def logits(params: PyTree, cfg: Qwen2Config, hidden: Array,
     sampler needs just the 8192-entry image vocabulary, so slicing the weight
     *before* the matmul turns a 160k-wide head into an 8k-wide one
     (reference slices logits *after* the full matmul, unigen.py:416).
+
+    A pre-quantized head (``lm_head_q``, ops/quantization.py::quantize_lm_head)
+    is picked up automatically: halves the decode loop's dominant 160k-wide
+    weight read.
     """
+    if "lm_head_q" in params:
+        from ..ops.quantization import dense_int8
+        p = params["lm_head_q"]
+        if vocab_slice is not None:
+            p = {"kernel_int8": p["kernel_int8"][:, vocab_slice[0]:vocab_slice[1]],
+                 "scale": p["scale"][vocab_slice[0]:vocab_slice[1]]}
+        return dense_int8(p, hidden)
     w = lm_head_weight(params, cfg)
     if vocab_slice is not None:
         w = w[:, vocab_slice[0]:vocab_slice[1]]

@@ -1,0 +1,214 @@
+"""Fused GroupNorm+swish+conv3x3 Pallas kernel for the MAGViTv2 tokenizer.
+
+The tokenizer's hot path is stacks of ``conv3x3(swish(group_norm(x)))`` at
+large spatial extents (reference: common_modules.py:340-360 resblocks inside
+magvitv2.py:57-178/286-408). XLA executes that as separate GN-stats, GN-apply
+and conv kernels: measured on the v5e chip, the conv alone runs at ~26-30% of
+the MXU peak at the dominant [B,256,256,128] shape and every GN costs extra
+full-tensor HBM round-trips (BENCH.md tokenizer section).
+
+This kernel does, per row-slab of the image, entirely in VMEM:
+
+  1. DMA the slab plus a 1-row halo from HBM (SAME padding handled in-kernel);
+  2. apply GroupNorm as a per-(batch, channel) affine ``x*A + B`` — the group
+     statistics are computed by a cheap XLA pre-pass and folded into A/B;
+  3. swish on the VPU;
+  4. the 3x3 convolution as 9 shifted [TH*W, C] @ [C, Cout] MXU matmuls
+     accumulated in fp32.
+
+The input is read from HBM exactly once (plus the stats pre-pass) and the
+output written once — versus ~5 full-tensor round trips for the unfused
+composition. Gradients fall back to the XLA composition via ``jax.custom_vjp``
+(training uses the same math; only the forward is hand-scheduled).
+
+Constraints: C and Cout multiples of 128 (MXU lane width), H divisible by the
+row-tile. ``supported()`` reports whether a shape qualifies; callers fall back
+to plain XLA ops otherwise.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+Array = jax.Array
+
+
+def _kernel(ab_ref, w_ref, bias_ref, x_hbm, out_ref, slab, sem, *, TH, W, C, Cout,
+            gn: bool, dtype):
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    nI = pl.num_programs(1)
+
+    # row-slab DMA: body rows [i*TH, i*TH+TH) -> slab[1:TH+1], halo rows from
+    # the neighbouring tiles (zeroed at the image edges)
+    body = pltpu.make_async_copy(x_hbm.at[b, pl.ds(i * TH, TH)],
+                                 slab.at[pl.ds(1, TH)], sem)
+    body.start()
+
+    @pl.when(i > 0)
+    def _():
+        top = pltpu.make_async_copy(x_hbm.at[b, pl.ds(i * TH - 1, 1)],
+                                    slab.at[pl.ds(0, 1)], sem)
+        top.start()
+        top.wait()
+
+    @pl.when(i == 0)
+    def _():
+        slab[0:1] = jnp.zeros((1, W, C), slab.dtype)
+
+    @pl.when(i < nI - 1)
+    def _():
+        bot = pltpu.make_async_copy(x_hbm.at[b, pl.ds(i * TH + TH, 1)],
+                                    slab.at[pl.ds(TH + 1, 1)], sem)
+        bot.start()
+        bot.wait()
+
+    @pl.when(i == nI - 1)
+    def _():
+        slab[TH + 1:TH + 2] = jnp.zeros((1, W, C), slab.dtype)
+
+    body.wait()
+
+    x = slab[:]
+    if gn:
+        a = ab_ref[0, 0]                                 # [C] fp32
+        bb = ab_ref[0, 1]
+        xf = x.astype(jnp.float32) * a[None, None, :] + bb[None, None, :]
+        xf = xf * jax.nn.sigmoid(xf)
+        # SAME padding is zero AFTER norm+swish: re-zero the out-of-image halo
+        # rows (the affine+swish of their zero fill is swish(B) != 0)
+        rowid = jax.lax.broadcasted_iota(jnp.int32, (TH + 2, 1, 1), 0)
+        valid = ((rowid > 0) | (i > 0)) & ((rowid < TH + 1) | (i < nI - 1))
+        x = jnp.where(valid, xf, 0.0).astype(dtype)
+
+    acc = jnp.zeros((TH * W, Cout), jnp.float32)
+    zcol = jnp.zeros((TH, 1, C), x.dtype)
+    for dy in range(3):
+        rows = x[dy:dy + TH]
+        for dx in range(3):
+            if dx == 0:
+                sh = jnp.concatenate([zcol, rows[:, :-1]], axis=1)
+            elif dx == 1:
+                sh = rows
+            else:
+                sh = jnp.concatenate([rows[:, 1:], zcol], axis=1)
+            acc = acc + jax.lax.dot_general(
+                sh.reshape(TH * W, C), w_ref[dy, dx],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+    out = acc + bias_ref[0].astype(jnp.float32)[None, :]
+    out_ref[:] = out.reshape(1, TH, W, Cout).astype(out_ref.dtype)
+
+
+def _row_tile(H: int, W: int, C: int) -> int:
+    """Largest divisor of H keeping the input slab around <=1MB, so slab +
+    fp32 accumulator + double-buffered out blocks fit the ~16MB VMEM."""
+    TH = max(8, min(H, (1024 * 1024) // (W * C * 2)))
+    while H % TH:
+        TH -= 1
+    return TH
+
+
+def supported(x_shape, cout: int) -> bool:
+    """Shape qualifies for the fused kernel (MXU lane alignment)."""
+    _, h, w, c = x_shape
+    return c % 128 == 0 and cout % 128 == 0 and h >= 8 and (h % _row_tile(h, w, c) == 0)
+
+
+def _gn_affine(gn_p, x: Array, num_groups: int, eps: float) -> Array:
+    """Fold GroupNorm stats into a per-(batch, channel) affine: returns
+    [B, 2, C] fp32 holding A (scale) and B (shift) with x_norm = x*A + B."""
+    b, h, w, c = x.shape
+    g = min(num_groups, c)
+    xf = x.astype(jnp.float32).reshape(b, h, w, g, c // g)
+    mean = xf.mean(axis=(1, 2, 4))                       # [B, g]
+    var = xf.var(axis=(1, 2, 4))
+    inv = jax.lax.rsqrt(var + eps)
+    scale = gn_p["scale"].astype(jnp.float32).reshape(g, c // g)
+    bias = gn_p["bias"].astype(jnp.float32).reshape(g, c // g)
+    A = (scale[None] * inv[..., None]).reshape(b, c)
+    B = (bias[None] - mean[..., None] * scale[None] * inv[..., None]).reshape(b, c)
+    return jnp.stack([A, B], axis=1)
+
+
+def _fused_forward(conv_p, gn_p, x, num_groups, eps, interpret):
+    B, H, W, C = x.shape
+    Cout = conv_p["kernel"].shape[-1]
+    TH = _row_tile(H, W, C)
+    gn = gn_p is not None
+    ab = (_gn_affine(gn_p, x, num_groups, eps) if gn
+          else jnp.zeros((B, 2, C), jnp.float32))
+    kern = functools.partial(_kernel, TH=TH, W=W, C=C, Cout=Cout, gn=gn,
+                             dtype=x.dtype)
+    return pl.pallas_call(
+        kern,
+        grid=(B, H // TH),
+        in_specs=[
+            pl.BlockSpec((1, 2, C), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),       # weights [3,3,C,Cout]
+            pl.BlockSpec(memory_space=pltpu.VMEM),       # bias [1, Cout]
+            pl.BlockSpec(memory_space=pltpu.ANY),        # x stays in HBM
+        ],
+        out_specs=pl.BlockSpec((1, TH, W, Cout), lambda b, i: (b, i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, H, W, Cout), x.dtype),
+        scratch_shapes=[pltpu.VMEM((TH + 2, W, C), x.dtype),
+                        pltpu.SemaphoreType.DMA(())],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * H * W * 9 * C * Cout,
+            bytes_accessed=2 * B * H * W * (C + Cout),
+            transcendentals=B * H * W * C if gn else 0),
+        interpret=interpret,
+    )(ab, conv_p["kernel"], conv_p["bias"].reshape(1, Cout), x)
+
+
+def _unfused(conv_p, gn_p, x, num_groups, eps):
+    """Reference XLA composition — also the backward-pass implementation."""
+    if gn_p is not None:
+        dtype = x.dtype
+        b, h, w, c = x.shape
+        g = min(num_groups, c)
+        xf = x.astype(jnp.float32).reshape(b, h, w, g, c // g)
+        mean = xf.mean(axis=(1, 2, 4), keepdims=True)
+        var = xf.var(axis=(1, 2, 4), keepdims=True)
+        xf = ((xf - mean) * jax.lax.rsqrt(var + eps)).reshape(b, h, w, c)
+        xf = xf * gn_p["scale"].astype(jnp.float32) + gn_p["bias"].astype(jnp.float32)
+        x = (xf * jax.nn.sigmoid(xf)).astype(dtype)
+    y = jax.lax.conv_general_dilated(
+        x, conv_p["kernel"].astype(x.dtype), window_strides=(1, 1), padding="SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    return y + conv_p["bias"].astype(x.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def conv3x3_gn_swish(conv_p, gn_p, x, num_groups: int = 32, eps: float = 1e-6,
+                     interpret: Optional[bool] = None):
+    """``conv3x3(swish(group_norm(x)))`` (or plain conv3x3 when ``gn_p`` is
+    None) via the fused Pallas kernel; exact-math vs the XLA composition.
+
+    ``interpret=None`` auto-selects interpreter mode off-TPU so CPU CI
+    exercises the same code path.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    return _fused_forward(conv_p, gn_p, x, num_groups, eps, interpret)
+
+
+def _fwd(conv_p, gn_p, x, num_groups, eps, interpret):
+    out = conv3x3_gn_swish(conv_p, gn_p, x, num_groups, eps, interpret)
+    return out, (conv_p, gn_p, x)
+
+
+def _bwd(num_groups, eps, interpret, res, g):
+    conv_p, gn_p, x = res
+    _, vjp = jax.vjp(lambda c, n, xx: _unfused(c, n, xx, num_groups, eps),
+                     conv_p, gn_p, x)
+    return vjp(g)
+
+
+conv3x3_gn_swish.defvjp(_fwd, _bwd)

@@ -95,16 +95,32 @@ def quantize_qwen2_params(params: PyTree) -> PyTree:
     return out
 
 
-def quantize_unigen_params(params: PyTree, cfg=None) -> PyTree:
+def quantize_lm_head(llm_params: PyTree, llm_cfg) -> PyTree:
+    """Add an int8 copy of the (tied) lm_head to a Qwen2 param tree.
+
+    The greedy decode loop reads the full [D, 160k] head every step (~0.5GB
+    bf16, ~25% of the loop's HBM traffic at serving batch 8 — BENCH.md decode
+    roofline); ``qwen2.logits`` picks up ``lm_head_q`` automatically."""
+    from ..models import qwen2
+    out = dict(llm_params)
+    out["lm_head_q"] = quantize_dense({"kernel": qwen2.lm_head_weight(llm_params, llm_cfg)})
+    return out
+
+
+def quantize_unigen_params(params: PyTree, cfg=None, lm_head: bool = False) -> PyTree:
     """Quantize the backbone inside a UniGen param tree (projectors stay high
     precision — they are a rounding error of the FLOPs).
 
     With ``cfg`` (a UniGenConfig), also adds ``img_head_q``: a pre-quantized
     copy of the 8k-wide image head (the gen-projector head, or the codebook
     slice of the tied embedding) so the t2i sampler's head matmul rides the
-    int8 MXU path too (generation/t2i.py::_image_head)."""
+    int8 MXU path too (generation/t2i.py::_image_head). ``lm_head=True``
+    (requires cfg) additionally int8-quantizes the full text head for the
+    VQA decode loop (see quantize_lm_head)."""
     out = dict(params)
     out["llm"] = quantize_qwen2_params(params["llm"])
+    if lm_head and cfg is not None:
+        out["llm"] = quantize_lm_head(out["llm"], cfg.llm)
     if cfg is not None:
         if cfg.use_gen_projector:
             head_w = params["img_head"]["kernel"]
