@@ -43,14 +43,18 @@ class MagvitConfig:
     entropy_multiplier: float = 0.1
     commit_loss_multiplier: float = 0.1
     dtype: Any = jnp.float32
-    # fused Pallas GN+swish+conv kernels (ops/fused_conv.py): "auto" enables
-    # them on TPU only; True forces (interpret mode off-TPU), False disables
+    # fused Pallas GN+swish+conv kernels (ops/fused_conv.py). Measured on the
+    # v5e chip the in-graph XLA composition is ~10% faster end-to-end (XLA
+    # fuses the GN stats into the producing op's epilogue, which the separate
+    # stats pre-pass here cannot match — BENCH.md tokenizer section), so
+    # "auto" currently resolves to OFF; True forces the kernel (interpret
+    # mode off-TPU), False disables.
     fused_convs: Any = "auto"
 
     @property
     def use_fused_convs(self) -> bool:
         if self.fused_convs == "auto":
-            return jax.default_backend() == "tpu"
+            return False
         return bool(self.fused_convs)
 
     @property

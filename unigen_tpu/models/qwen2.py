@@ -196,9 +196,14 @@ def rope(x: Array, positions: Array, theta: float, scaling_factor: float = 1.0) 
 
 
 def _attention_block(p, cfg: Qwen2Config, x: Array, mask: Optional[Array],
-                     positions: Array, layer_cache: Optional[Tuple[Array, Array]],
-                     cache_index: Optional[Array],
+                     positions: Array, cache_ctx=None,
                      meta_bits: Optional[Array] = None):
+    """``cache_ctx``: None, or ``(leaves, layer_idx, cache_index)`` where
+    ``leaves`` are the FULL layer-stacked cache arrays. The chunk's K/V are
+    written with one dynamic_update_slice into the stacked buffers — inside
+    the layer scan that update aliases the loop carry, so each step writes
+    only the new tokens instead of re-stacking every layer's whole cache
+    slice through scan ys (~0.7GB/step of pure copy at serving batch 32)."""
     b, l, _ = x.shape
     h, kvh, dh = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
     if "kernel_int8" in p["q"]:
@@ -216,25 +221,34 @@ def _attention_block(p, cfg: Qwen2Config, x: Array, mask: Optional[Array],
     k = rope(k, positions, cfg.rope_theta, cfg.rope_scaling_factor)
 
     new_cache = None
-    if layer_cache is not None and len(layer_cache) == 4:
+    if cache_ctx is not None and len(cache_ctx[0]) == 4:
         # int8 cache: quantize the incoming chunk; attention applies the scales
         # post-matmul so the cache is never expanded to a bf16 temp
         from ..ops.attention import dot_product_attention_q8
-        ck, cv, cks, cvs = layer_cache
+        (ck, cv, cks, cvs), li, cache_index = cache_ctx
         kq, ks_new = _kv_quantize(k)
         vq, vs_new = _kv_quantize(v)
-        ck = jax.lax.dynamic_update_slice(ck, kq, (0, cache_index, 0, 0))
-        cv = jax.lax.dynamic_update_slice(cv, vq, (0, cache_index, 0, 0))
-        cks = jax.lax.dynamic_update_slice(cks, ks_new, (0, cache_index, 0))
-        cvs = jax.lax.dynamic_update_slice(cvs, vs_new, (0, cache_index, 0))
-        out = dot_product_attention_q8(q, ck, cks, cv, cvs, mask=mask)
+        ck = jax.lax.dynamic_update_slice(ck, kq[None], (li, 0, cache_index, 0, 0))
+        cv = jax.lax.dynamic_update_slice(cv, vq[None], (li, 0, cache_index, 0, 0))
+        cks = jax.lax.dynamic_update_slice(cks, ks_new[None], (li, 0, cache_index, 0))
+        cvs = jax.lax.dynamic_update_slice(cvs, vs_new[None], (li, 0, cache_index, 0))
+        out = dot_product_attention_q8(
+            q,
+            jax.lax.dynamic_index_in_dim(ck, li, 0, keepdims=False),
+            jax.lax.dynamic_index_in_dim(cks, li, 0, keepdims=False),
+            jax.lax.dynamic_index_in_dim(cv, li, 0, keepdims=False),
+            jax.lax.dynamic_index_in_dim(cvs, li, 0, keepdims=False),
+            mask=mask)
         out = out.reshape(b, l, h * dh)
         return _dense(p["o"], out), (ck, cv, cks, cvs)
-    elif layer_cache is not None:
-        ck, cv = layer_cache
-        ck = jax.lax.dynamic_update_slice(ck, k.astype(ck.dtype), (0, cache_index, 0, 0))
-        cv = jax.lax.dynamic_update_slice(cv, v.astype(cv.dtype), (0, cache_index, 0, 0))
-        k, v = ck, cv
+    elif cache_ctx is not None:
+        (ck, cv), li, cache_index = cache_ctx
+        ck = jax.lax.dynamic_update_slice(ck, k[None].astype(ck.dtype),
+                                          (li, 0, cache_index, 0, 0))
+        cv = jax.lax.dynamic_update_slice(cv, v[None].astype(cv.dtype),
+                                          (li, 0, cache_index, 0, 0))
+        k = jax.lax.dynamic_index_in_dim(ck, li, 0, keepdims=False)
+        v = jax.lax.dynamic_index_in_dim(cv, li, 0, keepdims=False)
         new_cache = (ck, cv)
 
     if meta_bits is not None:
@@ -260,11 +274,11 @@ def _mlp_block(p, x: Array) -> Array:
     return _dense(p["down"], jax.nn.silu(_dense(p["gate"], x)) * _dense(p["up"], x))
 
 
-def _layer(p, cfg: Qwen2Config, x, mask, positions, layer_cache, cache_index,
+def _layer(p, cfg: Qwen2Config, x, mask, positions, cache_ctx=None,
            meta_bits=None):
     attn_out, new_cache = _attention_block(
         p["attn"], cfg, rms_norm(x, p["input_ln"]["scale"], cfg.rms_norm_eps),
-        mask, positions, layer_cache, cache_index, meta_bits=meta_bits)
+        mask, positions, cache_ctx, meta_bits=meta_bits)
     x = x + attn_out
     x = x + _mlp_block(p["mlp"], rms_norm(x, p["post_ln"]["scale"], cfg.rms_norm_eps))
     return x, new_cache
@@ -325,29 +339,35 @@ def forward(
         qpos = cache.index + jnp.arange(l)[None, None, :, None]
         mask = jnp.broadcast_to(kpos <= qpos, (b, 1, l, s))
 
-    def body(carry, scanned):
-        xc = carry
-        layer_params, layer_kv = scanned
-        layer_cache = None if layer_kv is None else layer_kv
-        out, new_cache = _layer(layer_params, cfg, xc, mask, positions, layer_cache,
-                                cache.index if cache is not None else None,
-                                meta_bits=meta_bits)
-        return out, new_cache
-
-    if remat:
-        body = jax.checkpoint(body, prevent_cse=False)
-
     if cache is not None:
+        # the stacked cache rides in the scan CARRY and each layer updates it
+        # with one dynamic_update_slice — aliased in place by XLA, so a decode
+        # step writes only the new tokens (scanning it through xs/ys instead
+        # would re-stack every layer's full cache slice each step)
         leaves = ((cache.k, cache.v, cache.k_scale, cache.v_scale)
                   if cache.quantized else (cache.k, cache.v))
-        x, new_kv = jax.lax.scan(body, x, (params["layers"], leaves))
-        if cache.quantized:
-            new_cache = KVCache(new_kv[0], new_kv[1], cache.index + l,
-                                new_kv[2], new_kv[3])
-        else:
-            new_cache = KVCache(new_kv[0], new_kv[1], cache.index + l)
+
+        def body_cache(carry, li):
+            xc, lv = carry
+            lp = jax.tree.map(
+                lambda pp: jax.lax.dynamic_index_in_dim(pp, li, 0, keepdims=False),
+                params["layers"])
+            out, lv = _layer(lp, cfg, xc, mask, positions, (lv, li, cache.index))
+            return (out, lv), None
+
+        (x, leaves), _ = jax.lax.scan(body_cache, (x, leaves),
+                                      jnp.arange(cfg.num_hidden_layers))
+        new_cache = KVCache(leaves[0], leaves[1], cache.index + l,
+                            *(leaves[2:] if cache.quantized else ()))
     else:
-        x, _ = jax.lax.scan(lambda c, p: body(c, (p, None)), x, params["layers"])
+        def body(carry, layer_params):
+            out, _ = _layer(layer_params, cfg, carry, mask, positions,
+                            meta_bits=meta_bits)
+            return out, None
+
+        if remat:
+            body = jax.checkpoint(body, prevent_cse=False)
+        x, _ = jax.lax.scan(body, x, params["layers"])
         new_cache = None
 
     x = rms_norm(x, params["final_ln"]["scale"], cfg.rms_norm_eps)

@@ -17,9 +17,18 @@ This kernel does, per row-slab of the image, entirely in VMEM:
      accumulated in fp32.
 
 The input is read from HBM exactly once (plus the stats pre-pass) and the
-output written once — versus ~5 full-tensor round trips for the unfused
-composition. Gradients fall back to the XLA composition via ``jax.custom_vjp``
-(training uses the same math; only the forward is hand-scheduled).
+output written once. Gradients fall back to the XLA composition via
+``jax.custom_vjp`` (training uses the same math; only the forward is
+hand-scheduled).
+
+**Measured outcome (BENCH.md tokenizer section):** in isolation the kernel's
+conv beats XLA's conv at the hot [16,256,256,128] shape (~63 vs ~50 TFLOPS),
+but end-to-end the XLA graph wins (decode 59.5ms vs 64.9ms fused at batch 16)
+because XLA fuses the GN stats reduction into the *producing* op's epilogue —
+zero extra passes — which a kernel fed by a separate stats pre-pass cannot
+match. The kernel therefore ships opt-in (``MagvitConfig.fused_convs=True``;
+``"auto"`` resolves to off) as the measured reference point for the
+fused-tokenizer-kernel north-star item.
 
 Constraints: C and Cout multiples of 128 (MXU lane width), H divisible by the
 row-tile. ``supported()`` reports whether a shape qualifies; callers fall back
@@ -38,77 +47,111 @@ from jax.experimental.pallas import tpu as pltpu
 Array = jax.Array
 
 
-def _kernel(ab_ref, w_ref, bias_ref, x_hbm, out_ref, slab, sem, *, TH, W, C, Cout,
-            gn: bool, dtype):
-    b = pl.program_id(0)
-    i = pl.program_id(1)
-    nI = pl.num_programs(1)
-
-    # row-slab DMA: body rows [i*TH, i*TH+TH) -> slab[1:TH+1], halo rows from
-    # the neighbouring tiles (zeroed at the image edges)
-    body = pltpu.make_async_copy(x_hbm.at[b, pl.ds(i * TH, TH)],
-                                 slab.at[pl.ds(1, TH)], sem)
-    body.start()
+def _start_slab_dma(x_hbm, slab, sems, b, i, slot, TH, nI):
+    """Start the (up to) 3 DMAs for tile (b, i) into slab slot ``slot``:
+    body rows + top/bottom halo rows. Returns nothing; _wait_slab_dma pairs."""
+    pltpu.make_async_copy(x_hbm.at[b, pl.ds(i * TH, TH)],
+                          slab.at[slot, pl.ds(1, TH)], sems.at[slot, 0]).start()
 
     @pl.when(i > 0)
     def _():
-        top = pltpu.make_async_copy(x_hbm.at[b, pl.ds(i * TH - 1, 1)],
-                                    slab.at[pl.ds(0, 1)], sem)
-        top.start()
-        top.wait()
-
-    @pl.when(i == 0)
-    def _():
-        slab[0:1] = jnp.zeros((1, W, C), slab.dtype)
+        pltpu.make_async_copy(x_hbm.at[b, pl.ds(i * TH - 1, 1)],
+                              slab.at[slot, pl.ds(0, 1)], sems.at[slot, 1]).start()
 
     @pl.when(i < nI - 1)
     def _():
-        bot = pltpu.make_async_copy(x_hbm.at[b, pl.ds(i * TH + TH, 1)],
-                                    slab.at[pl.ds(TH + 1, 1)], sem)
-        bot.start()
-        bot.wait()
+        pltpu.make_async_copy(x_hbm.at[b, pl.ds(i * TH + TH, 1)],
+                              slab.at[slot, pl.ds(TH + 1, 1)], sems.at[slot, 2]).start()
 
-    @pl.when(i == nI - 1)
+
+def _wait_slab_dma(x_hbm, slab, sems, b, i, slot, TH, nI):
+    pltpu.make_async_copy(x_hbm.at[b, pl.ds(i * TH, TH)],
+                          slab.at[slot, pl.ds(1, TH)], sems.at[slot, 0]).wait()
+
+    @pl.when(i > 0)
     def _():
-        slab[TH + 1:TH + 2] = jnp.zeros((1, W, C), slab.dtype)
+        pltpu.make_async_copy(x_hbm.at[b, pl.ds(i * TH - 1, 1)],
+                              slab.at[slot, pl.ds(0, 1)], sems.at[slot, 1]).wait()
 
-    body.wait()
+    @pl.when(i < nI - 1)
+    def _():
+        pltpu.make_async_copy(x_hbm.at[b, pl.ds(i * TH + TH, 1)],
+                              slab.at[slot, pl.ds(TH + 1, 1)], sems.at[slot, 2]).wait()
 
-    x = slab[:]
-    if gn:
-        a = ab_ref[0, 0]                                 # [C] fp32
-        bb = ab_ref[0, 1]
-        xf = x.astype(jnp.float32) * a[None, None, :] + bb[None, None, :]
-        xf = xf * jax.nn.sigmoid(xf)
-        # SAME padding is zero AFTER norm+swish: re-zero the out-of-image halo
-        # rows (the affine+swish of their zero fill is swish(B) != 0)
-        rowid = jax.lax.broadcasted_iota(jnp.int32, (TH + 2, 1, 1), 0)
+
+def _kernel(ab_ref, w_ref, bias_ref, x_hbm, out_ref, slab, sems, *, TH, W, C, Cout,
+            gn: bool, dtype, RC: int):
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    nB = pl.num_programs(0)
+    nI = pl.num_programs(1)
+    step = b * nI + i
+    slot = jax.lax.rem(step, 2)
+    nxt = jax.lax.rem(step + 1, 2)
+
+    # double-buffered slab prefetch: tile (b, i)'s DMA was started by the
+    # previous grid step; here we start the NEXT tile's and wait on ours
+    @pl.when(step == 0)
+    def _():
+        _start_slab_dma(x_hbm, slab, sems, b, i, slot, TH, nI)
+
+    nb = jax.lax.select(i == nI - 1, b + 1, b)
+    ni = jax.lax.select(i == nI - 1, 0, i + 1)
+
+    @pl.when(step + 1 < nB * nI)
+    def _():
+        _start_slab_dma(x_hbm, slab, sems, nb, ni, nxt, TH, nI)
+
+    _wait_slab_dma(x_hbm, slab, sems, b, i, slot, TH, nI)
+
+    bias = bias_ref[0].astype(jnp.float32)[None, :]
+    zcol = jnp.zeros((RC + 2, 1, C), dtype)
+    a = ab_ref[0, 0] if gn else None                     # [C] fp32
+    bb = ab_ref[0, 1] if gn else None
+
+    def normalized(rc):
+        """GN-affine + swish + SAME-pad masking + dx-tap fold for the window
+        of rows [rc, rc+RC+2): returns [RC+2, W, 3C] in the compute dtype."""
+        win = slab[slot, rc:rc + RC + 2]
+        # SAME padding is zero: out-of-image halo rows carry stale buffer
+        # contents (and the GN affine+swish of any value is nonzero) — mask
+        # them instead of zero-writing VMEM
+        rowid = rc + jax.lax.broadcasted_iota(jnp.int32, (RC + 2, 1, 1), 0)
         valid = ((rowid > 0) | (i > 0)) & ((rowid < TH + 1) | (i < nI - 1))
-        x = jnp.where(valid, xf, 0.0).astype(dtype)
+        if gn:
+            wf = win.astype(jnp.float32) * a[None, None, :] + bb[None, None, :]
+            wf = wf * jax.nn.sigmoid(wf)
+            win = jnp.where(valid, wf, 0.0).astype(dtype)
+        else:
+            win = jnp.where(valid, win, 0)
+        # fold the 3 dx taps into the contraction dim: 3 matmuls of K=3C
+        # instead of 9 of K=C — fewer MXU launches, deeper pipeline
+        return jnp.concatenate(
+            [jnp.concatenate([zcol, win[:, :-1]], axis=1),
+             win,
+             jnp.concatenate([win[:, 1:], zcol], axis=1)], axis=-1)
 
-    acc = jnp.zeros((TH * W, Cout), jnp.float32)
-    zcol = jnp.zeros((TH, 1, C), x.dtype)
-    for dy in range(3):
-        rows = x[dy:dy + TH]
-        for dx in range(3):
-            if dx == 0:
-                sh = jnp.concatenate([zcol, rows[:, :-1]], axis=1)
-            elif dx == 1:
-                sh = rows
-            else:
-                sh = jnp.concatenate([rows[:, 1:], zcol], axis=1)
+    # two-stage software pipeline over the row windows: the (VPU) normalize of
+    # window rc+RC has no data dependence on the (MXU) matmuls of window rc,
+    # so emitting them adjacently lets the scheduler overlap the two units
+    cur = normalized(0)
+    for rc in range(0, TH, RC):
+        nxt = normalized(rc + RC) if rc + RC < TH else None
+        acc = jnp.zeros((RC * W, Cout), jnp.float32)
+        for dy in range(3):
             acc = acc + jax.lax.dot_general(
-                sh.reshape(TH * W, C), w_ref[dy, dx],
+                cur[dy:dy + RC].reshape(RC * W, 3 * C), w_ref[dy],
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
-    out = acc + bias_ref[0].astype(jnp.float32)[None, :]
-    out_ref[:] = out.reshape(1, TH, W, Cout).astype(out_ref.dtype)
+        out_ref[0, rc:rc + RC] = (acc + bias).reshape(RC, W, Cout).astype(out_ref.dtype)
+        cur = nxt
 
 
 def _row_tile(H: int, W: int, C: int) -> int:
-    """Largest divisor of H keeping the input slab around <=1MB, so slab +
-    fp32 accumulator + double-buffered out blocks fit the ~16MB VMEM."""
-    TH = max(8, min(H, (1024 * 1024) // (W * C * 2)))
+    """Largest divisor of H keeping one slab slot around <=2.25MB: two slots
+    (double buffering) + double-buffered out blocks + per-window temps fit
+    the ~16MB VMEM."""
+    TH = max(8, min(H, (2304 * 1024) // (W * C * 2) - 2))
     while H % TH:
         TH -= 1
     return TH
@@ -140,31 +183,32 @@ def _fused_forward(conv_p, gn_p, x, num_groups, eps, interpret):
     B, H, W, C = x.shape
     Cout = conv_p["kernel"].shape[-1]
     TH = _row_tile(H, W, C)
+    RC = 8 if TH % 8 == 0 else TH
     gn = gn_p is not None
     ab = (_gn_affine(gn_p, x, num_groups, eps) if gn
           else jnp.zeros((B, 2, C), jnp.float32))
     kern = functools.partial(_kernel, TH=TH, W=W, C=C, Cout=Cout, gn=gn,
-                             dtype=x.dtype)
+                             dtype=x.dtype, RC=RC)
     return pl.pallas_call(
         kern,
         grid=(B, H // TH),
         in_specs=[
             pl.BlockSpec((1, 2, C), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),       # weights [3,3,C,Cout]
+            pl.BlockSpec(memory_space=pltpu.VMEM),       # weights [3, 3C, Cout]
             pl.BlockSpec(memory_space=pltpu.VMEM),       # bias [1, Cout]
             pl.BlockSpec(memory_space=pltpu.ANY),        # x stays in HBM
         ],
         out_specs=pl.BlockSpec((1, TH, W, Cout), lambda b, i: (b, i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, H, W, Cout), x.dtype),
-        scratch_shapes=[pltpu.VMEM((TH + 2, W, C), x.dtype),
-                        pltpu.SemaphoreType.DMA(())],
+        scratch_shapes=[pltpu.VMEM((2, TH + 2, W, C), x.dtype),
+                        pltpu.SemaphoreType.DMA((2, 3))],
         cost_estimate=pl.CostEstimate(
             flops=2 * B * H * W * 9 * C * Cout,
             bytes_accessed=2 * B * H * W * (C + Cout),
             transcendentals=B * H * W * C if gn else 0),
         interpret=interpret,
-    )(ab, conv_p["kernel"], conv_p["bias"].reshape(1, Cout), x)
+    )(ab, conv_p["kernel"].reshape(3, 3 * C, Cout), conv_p["bias"].reshape(1, Cout), x)
 
 
 def _unfused(conv_p, gn_p, x, num_groups, eps):
