@@ -232,3 +232,8 @@ def test_t2i_prefix_cached_matches_full_path(model):
     cached = t2i_generate(params, cfg, jax.random.key(5), ids, mask,
                           reuse_prefix_cache=True, pad_id=0, **kwargs)
     np.testing.assert_array_equal(np.asarray(full), np.asarray(cached))
+    # per-row VMEM chunk-attention kernel (interpret mode off-TPU): same tokens
+    kernel = t2i_generate(params, cfg, jax.random.key(5), ids, mask,
+                          reuse_prefix_cache=True, pad_id=0, chunk_kernel=True,
+                          **kwargs)
+    np.testing.assert_array_equal(np.asarray(full), np.asarray(kernel))

@@ -96,6 +96,7 @@ def t2i_generate(
     pad_id: Optional[int] = None,
     noise: Optional[Tuple[Array, Array]] = None,
     cfg_combine: str = "hidden",
+    chunk_kernel: Optional[bool] = None,
 ) -> Array:
     """MaskGIT masked-token parallel decoding (reference: models/unigen.py:344-455).
 
@@ -120,7 +121,8 @@ def t2i_generate(
     if reuse_prefix_cache:
         return _t2i_generate_prefix_cached(
             params, cfg, key, input_ids, uncond_input_ids, temperature, timesteps,
-            guidance_scale, noise_schedule, n, pad_id, noise, cfg_combine)
+            guidance_scale, noise_schedule, n, pad_id, noise, cfg_combine,
+            chunk_kernel)
     return _t2i_generate_full(
         params, cfg, key, input_ids, attention_mask, uncond_input_ids, temperature,
         timesteps, guidance_scale, noise_schedule, n, noise, cfg_combine)
@@ -215,13 +217,23 @@ def _maskgit_update(k_sample, k_mask, logits, ids_cb, s, temp, timesteps, n,
 def _t2i_generate_prefix_cached(params, cfg, key, input_ids, uncond_input_ids,
                                 temperature, timesteps, guidance_scale,
                                 noise_schedule, n, pad_id, noise=None,
-                                cfg_combine="hidden"):
+                                cfg_combine="hidden", chunk_kernel=None):
     """Prefix-KV-cached MaskGIT: prefill the causal text prefix once, then per
-    step forward only the n+1 image/suffix tokens against the cache."""
+    step forward only the n+1 image/suffix tokens against the cache.
+
+    ``chunk_kernel`` (auto: on-TPU) routes the step attention through the
+    per-row VMEM Pallas kernel (ops/chunk_attention.py) — the chunk's
+    visibility is a per-row key set, and the kernel keeps the [RB, H, n+2, S]
+    fp32 attention logits out of HBM entirely. The cache is then padded to a
+    lane-aligned length; the extra slots are masked invisible.
+    """
     mask_id = cfg.mask_token_id
     bsz = input_ids.shape[0]
     use_cfg = guidance_scale > 1
     repeat_n = 2 if use_cfg else 1
+    if chunk_kernel is None:
+        chunk_kernel = (jax.default_backend() == "tpu"
+                        and cfg.llm.head_dim % 128 == 0)
 
     # the cacheable prefix is ONLY the causal text: <|soi|> belongs to the
     # bidirectional image segment (reference mask, prompting_utils.py:990), so its
@@ -232,17 +244,19 @@ def _t2i_generate_prefix_cached(params, cfg, key, input_ids, uncond_input_ids,
     rb, lp = prompt.shape
     chunk_len = n + 2                       # [soi][img x n][eoi]
     total = lp + chunk_len
+    # lane-aligned cache for the Pallas kernel; pad slots are never visible
+    alloc = ((total + 127) // 128) * 128 if chunk_kernel else total
 
     keep = jnp.ones((rb, lp), bool) if pad_id is None else (prompt != pad_id)
 
     # prefill the text prefix (causal over non-pad keys; pads never become
     # visible to image queries so their rows don't matter)
-    cache = qwen2.init_kv_cache(cfg.llm, rb, total)
+    cache = qwen2.init_kv_cache(cfg.llm, rb, alloc)
     pos = jnp.arange(lp)
     prefill_mask = (pos[:, None] >= pos[None, :])[None, None] & keep[:, None, None, :]
     prefill_mask = jnp.concatenate(
         [jnp.broadcast_to(prefill_mask, (rb, 1, lp, lp)),
-         jnp.zeros((rb, 1, lp, total - lp), bool)], axis=-1)
+         jnp.zeros((rb, 1, lp, alloc - lp), bool)], axis=-1)
     _, cache = qwen2.forward(params["llm"], cfg.llm,
                              inputs_embeds=embed_tokens(params, prompt),
                              mask=prefill_mask, cache=cache)
@@ -254,9 +268,12 @@ def _t2i_generate_prefix_cached(params, cfg, key, input_ids, uncond_input_ids,
 
     # every chunk query (soi/img/eoi, all bidirectional) sees: non-pad prefix +
     # the whole current chunk
-    slot_visible = jnp.concatenate([keep, jnp.ones((rb, chunk_len), bool)], axis=1)
-    step_mask = jnp.broadcast_to(slot_visible[:, None, None, :],
-                                 (rb, 1, chunk_len, total))
+    slot_visible = jnp.concatenate(
+        [keep, jnp.ones((rb, chunk_len), bool),
+         jnp.zeros((rb, alloc - total), bool)], axis=1)
+    step_mask = None if chunk_kernel else jnp.broadcast_to(
+        slot_visible[:, None, None, :], (rb, 1, chunk_len, alloc))
+    step_rowmask = slot_visible if chunk_kernel else None
     step_positions = jnp.broadcast_to((lp + jnp.arange(chunk_len))[None],
                                       (rb, chunk_len))
 
@@ -277,7 +294,7 @@ def _t2i_generate_prefix_cached(params, cfg, key, input_ids, uncond_input_ids,
         cache_c = qwen2.KVCache(cache_c.k, cache_c.v, jnp.asarray(lp, jnp.int32))
         hidden, cache_c = qwen2.forward(params["llm"], cfg.llm, inputs_embeds=chunk,
                                         mask=step_mask, positions=step_positions,
-                                        cache=cache_c)
+                                        cache=cache_c, kv_rowmask=step_rowmask)
         logits = _cfg_head_logits(params, cfg, hidden[:, 1:n + 1], bsz,
                                   use_cfg, guidance_scale, cfg_combine)
         new_ids, sampled, temp = _maskgit_update(

@@ -197,7 +197,8 @@ def rope(x: Array, positions: Array, theta: float, scaling_factor: float = 1.0) 
 
 def _attention_block(p, cfg: Qwen2Config, x: Array, mask: Optional[Array],
                      positions: Array, cache_ctx=None,
-                     meta_bits: Optional[Array] = None):
+                     meta_bits: Optional[Array] = None,
+                     kv_rowmask: Optional[Array] = None):
     """``cache_ctx``: None, or ``(leaves, layer_idx, cache_index)`` where
     ``leaves`` are the FULL layer-stacked cache arrays. The chunk's K/V are
     written with one dynamic_update_slice into the stacked buffers — inside
@@ -250,6 +251,12 @@ def _attention_block(p, cfg: Qwen2Config, x: Array, mask: Optional[Array],
         k = jax.lax.dynamic_index_in_dim(ck, li, 0, keepdims=False)
         v = jax.lax.dynamic_index_in_dim(cv, li, 0, keepdims=False)
         new_cache = (ck, cv)
+        if kv_rowmask is not None:
+            # per-row key-visibility mask (t2i chunk step): the whole attention
+            # problem runs in VMEM — the [B, H, Lq, S] logits never touch HBM
+            from ..ops.chunk_attention import chunk_attention
+            out = chunk_attention(q, k, v, kv_rowmask)
+            return _dense(p["o"], out.reshape(b, l, h * dh)), new_cache
 
     if meta_bits is not None:
         # Pallas kernel: omni mask computed on the fly, zero HBM mask traffic
@@ -275,10 +282,10 @@ def _mlp_block(p, x: Array) -> Array:
 
 
 def _layer(p, cfg: Qwen2Config, x, mask, positions, cache_ctx=None,
-           meta_bits=None):
+           meta_bits=None, kv_rowmask=None):
     attn_out, new_cache = _attention_block(
         p["attn"], cfg, rms_norm(x, p["input_ln"]["scale"], cfg.rms_norm_eps),
-        mask, positions, cache_ctx, meta_bits=meta_bits)
+        mask, positions, cache_ctx, meta_bits=meta_bits, kv_rowmask=kv_rowmask)
     x = x + attn_out
     x = x + _mlp_block(p["mlp"], rms_norm(x, p["post_ln"]["scale"], cfg.rms_norm_eps))
     return x, new_cache
@@ -300,6 +307,7 @@ def forward(
     cache: Optional[KVCache] = None,
     remat: bool = False,
     use_flash: Optional[bool] = None,
+    kv_rowmask: Optional[Array] = None,  # [B, S] key visibility (chunk kernel)
 ) -> Tuple[Array, Optional[KVCache]]:
     """Backbone forward. Returns (hidden_states [B, L, D], updated cache or None).
 
@@ -331,7 +339,7 @@ def forward(
     if mask is None and cache is None:
         pos = jnp.arange(l)
         mask = jnp.broadcast_to((pos[:, None] >= pos[None, :])[None, None], (b, 1, l, l))
-    if cache is not None and mask is None:
+    if cache is not None and mask is None and kv_rowmask is None:
         # Decode-step mask: attend to every cache slot < index + this chunk (causal
         # within the chunk).
         s = cache.k.shape[2]
@@ -352,7 +360,8 @@ def forward(
             lp = jax.tree.map(
                 lambda pp: jax.lax.dynamic_index_in_dim(pp, li, 0, keepdims=False),
                 params["layers"])
-            out, lv = _layer(lp, cfg, xc, mask, positions, (lv, li, cache.index))
+            out, lv = _layer(lp, cfg, xc, mask, positions, (lv, li, cache.index),
+                             kv_rowmask=kv_rowmask)
             return (out, lv), None
 
         (x, leaves), _ = jax.lax.scan(body_cache, (x, leaves),
