@@ -221,19 +221,22 @@ def _t2i_generate_prefix_cached(params, cfg, key, input_ids, uncond_input_ids,
     """Prefix-KV-cached MaskGIT: prefill the causal text prefix once, then per
     step forward only the n+1 image/suffix tokens against the cache.
 
-    ``chunk_kernel`` (auto: on-TPU) routes the step attention through the
-    per-row VMEM Pallas kernel (ops/chunk_attention.py) — the chunk's
-    visibility is a per-row key set, and the kernel keeps the [RB, H, n+2, S]
-    fp32 attention logits out of HBM entirely. The cache is then padded to a
-    lane-aligned length; the extra slots are masked invisible.
+    ``chunk_kernel`` routes the step attention through the per-row VMEM
+    Pallas kernel (ops/chunk_attention.py). Opt-in: measured slower than
+    XLA's attention at the GenEval shape (see the kernel's docstring), so
+    the default resolves to off. With the kernel, the cache is padded to a
+    lane-aligned length and the extra slots masked invisible.
     """
     mask_id = cfg.mask_token_id
     bsz = input_ids.shape[0]
     use_cfg = guidance_scale > 1
     repeat_n = 2 if use_cfg else 1
     if chunk_kernel is None:
-        chunk_kernel = (jax.default_backend() == "tpu"
-                        and cfg.llm.head_dim % 128 == 0)
+        # measured on the v5e chip: the kernel LOSES to XLA's in-graph
+        # attention at the GenEval shape (2.6 vs 3.1 img/s) — XLA keeps these
+        # modest logits tiles fused; auto therefore resolves to OFF and the
+        # kernel stays opt-in (BENCH.md)
+        chunk_kernel = False
 
     # the cacheable prefix is ONLY the causal text: <|soi|> belongs to the
     # bidirectional image segment (reference mask, prompting_utils.py:990), so its

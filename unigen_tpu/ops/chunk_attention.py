@@ -18,6 +18,15 @@ M dimension of a single MXU matmul against the shared K.
 Numerics match ops/attention.py::dot_product_attention exactly-in-structure:
 fp32 logits, fp32 softmax with a max-shift, bf16 PV matmul with fp32
 accumulation. Inference-only (no VJP) — the sampler never differentiates.
+
+**Measured outcome (BENCH.md):** at the GenEval batch-4 shape the kernel is
+SLOWER end-to-end than XLA's attention (2.6 vs 3.1 img/s; a batched-dim
+dot_general variant measured 2.4) — XLA evidently keeps these modest logits
+tiles inside fusions rather than round-tripping HBM as the sizing argument
+assumed. The kernel therefore ships opt-in (``t2i_generate(chunk_kernel=True)``,
+token-exact vs the XLA path in tests) as a documented negative result; its
+premise would only pay at much longer prefixes where the logits tile genuinely
+exceeds what XLA can keep resident.
 """
 from __future__ import annotations
 
@@ -41,6 +50,7 @@ def _kernel(q_ref, k_ref, v_ref, kvalid_ref, out_ref, *, Lq, S, H, KVH, Dh, scal
         k = k_ref[0, :, kh]                                 # [S, Dh]
         v = v_ref[0, :, kh]
         # the G query heads sharing this K/V head fold into the M dimension
+        # (measured faster than a batched-dim dot_general in this kernel)
         q = q_ref[0, :, kh * G:(kh + 1) * G]                # [Lq, G, Dh]
         q = q.transpose(1, 0, 2).reshape(G * Lq, Dh)
         logits = jax.lax.dot_general(
