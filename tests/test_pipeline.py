@@ -209,9 +209,30 @@ def test_lmms_adapter_generate_until(pipe):
     assert len(out) == 2 and all(isinstance(t, str) for t in out)
     wide = concat_images_horizontal([img, img2])
     assert wide.size == (60, 30)
-    import pytest as _pytest
-    with _pytest.raises(NotImplementedError):
-        adapter.loglikelihood([])
+
+
+def test_lmms_adapter_loglikelihood(pipe):
+    """loglikelihood: greedy continuation must score is_greedy=True and beat a
+    perturbed continuation; per-request values are deterministic."""
+    import jax.numpy as jnp
+    from PIL import Image
+    from unigen_tpu.evaluation.lmms_adapter import UniGenLmmsAdapter
+    adapter = UniGenLmmsAdapter(pipe, use_system_prompt=False)
+    img = Image.new("RGB", (40, 30), (200, 10, 10))
+    # derive the model's own greedy continuation for this prompt
+    pixels = adapter._prepare_image(img)[None]
+    toks = pipe.understand(pixels, ["what?"], jax.random.key(0),
+                           max_new_tokens=3, temperature=0.0)
+    greedy_text_ids = np.asarray(toks)[0]
+    lp_g, is_g = pipe.score_continuation(pixels, "what?", greedy_text_ids)
+    assert np.isfinite(lp_g) and is_g
+    # a perturbed continuation scores lower and is not greedy
+    other = (greedy_text_ids + 1) % 50
+    lp_o, is_o = pipe.score_continuation(pixels, "what?", other)
+    assert lp_o < lp_g and not is_o
+    # adapter protocol wrapper
+    out = adapter.loglikelihood([("what?", "yes", img)])
+    assert len(out) == 1 and np.isfinite(out[0][0]) and isinstance(out[0][1], bool)
 
 
 def test_run_cot_think_style(pipe):

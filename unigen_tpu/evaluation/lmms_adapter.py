@@ -92,10 +92,25 @@ class UniGenLmmsAdapter:
             out.append(text)
         return out
 
-    def loglikelihood(self, requests):
-        raise NotImplementedError(
-            "loglikelihood is not used by the reference's task suite "
-            "(generate_until-only benchmarks, reference :209-214)")
+    def loglikelihood(self, requests) -> List[Tuple[float, bool]]:
+        """[(context, continuation, images)] -> [(sum logprob, is_greedy)].
+
+        Not exercised by the reference's task suite (generate_until-only
+        benchmarks, reference :209-214) but part of the lmms-eval model
+        protocol: each request runs one scored forward through the mmu_vit
+        splice (pipeline.score_continuation)."""
+        out: List[Tuple[float, bool]] = []
+        sys_ids = None
+        if self.use_system_prompt:
+            sys_ids = np.asarray(
+                [self.pipeline.prompting._tokenize(QWEN_SYSTEM_PROMPT)[0]])
+        for context, continuation, images in requests:
+            pixels = self._prepare_image(images)[None]
+            cont_ids = np.asarray(
+                self.pipeline.prompting._tokenize(continuation)[0], np.int64)
+            out.append(self.pipeline.score_continuation(
+                pixels, context, cont_ids, system_prompt_ids=sys_ids))
+        return out
 
 
 def register(name: str = "unigen_tpu"):

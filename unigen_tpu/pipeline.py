@@ -96,6 +96,34 @@ def _mmu_vit_decode(params, cfg, part1, part2, img_embeds, prompt_len, key, *,
                         quantized_cache=quantized_cache)
 
 
+@partial(jax.jit, static_argnames=("cfg", "sys_len"))
+def _mmu_vit_score(params, cfg, part1, part2, img_embeds, cont, *, sys_len):
+    """Log-likelihood of ``cont`` tokens after the mmu_vit prompt splice.
+
+    Returns (sum log p(cont | prompt) [B], greedy-match flag [B]) — the
+    lmms-eval ``loglikelihood`` contract. One forward, no sampling."""
+    from .models import qwen2
+    e1 = unigen.embed_tokens(params, part1)
+    e2 = unigen.embed_tokens(params, part2)
+    ec = unigen.embed_tokens(params, cont)
+    embeds = jnp.concatenate([e1, img_embeds.astype(e1.dtype), e2, ec], axis=1)
+    b, l, _ = embeds.shape
+    nc = cont.shape[1]
+    attn = M.create_attention_mask_for_mmu_vit(
+        b, l, system_prompt_len=sys_len, num_tokens=img_embeds.shape[1],
+        prefix_length=part1.shape[1])
+    hidden, _ = qwen2.forward(params["llm"], cfg.llm, inputs_embeds=embeds,
+                              mask=attn)
+    # hidden at position p predicts token p+1: continuation tokens are
+    # predicted from positions [l-nc-1, l-1)
+    logits = qwen2.logits(params["llm"], cfg.llm,
+                          hidden[:, l - nc - 1:l - 1]).astype(jnp.float32)
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    tok_lp = jnp.take_along_axis(logp, cont[..., None], axis=-1)[..., 0]
+    greedy = jnp.argmax(logits, axis=-1) == cont
+    return tok_lp.sum(axis=-1), greedy.all(axis=-1)
+
+
 @partial(jax.jit, static_argnames=("vision_cfg",))
 def _vision_forward(vision_params, vision_cfg, pixels):
     return siglip.forward(vision_params, vision_cfg, pixels)
@@ -183,22 +211,8 @@ class UniGenPipeline:
                            max_new_tokens=max_new_tokens, temperature=temperature,
                            top_k=top_k, quantized_cache=self.quantized_cache)
 
-    def understand(
-        self,
-        pixels: Array,
-        questions: Sequence[str],
-        key: Array,
-        *,
-        system_prompt_ids: Optional[np.ndarray] = None,
-        max_new_tokens: int = 128,
-        temperature: float = 0.0,
-        top_k: Optional[int] = None,
-    ) -> Array:
-        """VQA through the continuous SigLIP path (reference: lmms adapter
-        generate_until, third_party/lmms/models/unigen.py:259-430).
-
-        ``pixels``: [B, 384, 384, 3] normalized with mean=std=0.5.
-        """
+    def _image_embeds(self, pixels: Array) -> Array:
+        """Vision tower + MM projector (SigLIP fixed-res or SigLIP2-NaFlex)."""
         assert self.vision_params is not None, "pipeline built without a vision tower"
         from .models import siglip2
         if isinstance(self.vision_cfg, siglip2.Siglip2Config):
@@ -220,7 +234,52 @@ class UniGenPipeline:
                                     np.asarray(shapes))
         else:
             feats = _vision_forward(self.vision_params, self.vision_cfg, pixels)
-        img_embeds = _mm_project(self.params, feats)
+        return _mm_project(self.params, feats)
+
+    def score_continuation(
+        self,
+        pixels: Array,
+        question: str,
+        continuation_ids: np.ndarray,
+        *,
+        system_prompt_ids: Optional[np.ndarray] = None,
+    ) -> tuple:
+        """Sum log-likelihood (and greedy-match flag) of a tokenized
+        continuation after the VQA prompt — the lmms-eval ``loglikelihood``
+        contract (one request; the adapter loops). One scored forward, no
+        sampling; retraces per (question-length, continuation-length) shape.
+        """
+        img_embeds = self._image_embeds(pixels)
+        b, p, _ = img_embeds.shape
+        q_ids = self.prompting._tokenize(
+            f"{question}<|im_end|>\n<|im_start|>assistant\n")[0]
+        q_arr = np.asarray([q_ids], np.int64)
+        part1, part2, _, _ = self.prompting((np.zeros((b, p, 1)), q_arr, None,
+                                             system_prompt_ids), "mmu_conv")
+        cont = jnp.asarray(np.asarray(continuation_ids, np.int64)[None])
+        lp, greedy = _mmu_vit_score(
+            self.params, self.cfg, jnp.asarray(part1), jnp.asarray(part2),
+            img_embeds, cont,
+            sys_len=0 if system_prompt_ids is None else system_prompt_ids.shape[1])
+        return float(lp[0]), bool(greedy[0])
+
+    def understand(
+        self,
+        pixels: Array,
+        questions: Sequence[str],
+        key: Array,
+        *,
+        system_prompt_ids: Optional[np.ndarray] = None,
+        max_new_tokens: int = 128,
+        temperature: float = 0.0,
+        top_k: Optional[int] = None,
+    ) -> Array:
+        """VQA through the continuous SigLIP path (reference: lmms adapter
+        generate_until, third_party/lmms/models/unigen.py:259-430).
+
+        ``pixels``: [B, 384, 384, 3] normalized with mean=std=0.5.
+        """
+        img_embeds = self._image_embeds(pixels)
         b, p, _ = img_embeds.shape
 
         q_ids = [self.prompting._tokenize(
