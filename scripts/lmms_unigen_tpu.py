@@ -51,9 +51,13 @@ class UniGenTpu(lmms):
         return self.adapter.generate_until(packed)
 
     def loglikelihood(self, requests: List[Instance]) -> List[Tuple[float, bool]]:
-        raise NotImplementedError(
-            "unigen evaluates generate_until tasks only (reference plugin has "
-            "the same gap, third_party/lmms/models/unigen.py)")
+        packed = []
+        for req in requests:
+            contexts, doc_to_target, doc_to_visual, doc_id, task, split = req.args
+            doc = self.task_dict[task][split][doc_id]
+            continuation = doc_to_target(doc) if callable(doc_to_target) else doc_to_target
+            packed.append((contexts, continuation, doc_to_visual(doc)))
+        return self.adapter.loglikelihood(packed)
 
     def generate_until_multi_round(self, requests) -> List[str]:
         raise NotImplementedError("multi-round dialogue not supported")

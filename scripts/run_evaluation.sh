@@ -46,9 +46,14 @@ score_geneval() {
   run_command_with_errors python "${GENEVAL_ROOT}/evaluation/evaluate_images.py" \
     "$dir" --outfile "$dir/results.jsonl" \
     --model-path "${MASK2FORMER_PATH:-third_party/checkpoints/mask2former}"
-  [[ -f "$dir/results.jsonl" ]] && \
+  if [[ -f "$dir/results.jsonl" ]]; then
     python "${GENEVAL_ROOT}/evaluation/summary_scores.py" "$dir/results.jsonl" \
       | tee -a "$log"
+  else
+    # detector ran but produced nothing — report and keep the suite going
+    # (a bare `[[ -f ]] &&` here would return 1 and abort under set -e)
+    skip "GenEval detector produced no results.jsonl in $dir"
+  fi
 }
 
 # score_dpg <image_root> <res_txt>   (reference :168-176)
@@ -94,6 +99,7 @@ case "$SUITE" in
     done
     # no-TTS baseline carve-out: first 4 of the 20 candidates (reference :222-238)
     for all_dir in "${OUT}"/t2i_samples_step*_scale*/; do
+      [[ -d "$all_dir" ]] || continue   # unmatched glob passes the literal '*'
       case "$all_dir" in *_selected_*|*_origin*) continue;; esac
       ORIGIN="${all_dir%/}_origin"
       mkdir -p "$ORIGIN"

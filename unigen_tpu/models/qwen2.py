@@ -339,6 +339,10 @@ def forward(
     if mask is None and cache is None:
         pos = jnp.arange(l)
         mask = jnp.broadcast_to((pos[:, None] >= pos[None, :])[None, None], (b, 1, l, l))
+    if kv_rowmask is not None and cache is not None and cache.quantized:
+        raise NotImplementedError(
+            "kv_rowmask (chunk-attention kernel) does not support the int8 KV "
+            "cache — the quantized branch would silently ignore the mask")
     if cache is not None and mask is None and kv_rowmask is None:
         # Decode-step mask: attend to every cache slot < index + this chunk (causal
         # within the chunk).

@@ -11,9 +11,13 @@ throughput lever. Scheme:
 * accumulation in int32 on the MXU, dequantized with the fused
   ``(act_scale[token] * weight_scale[out])`` outer product.
 
-Only the transformer dense layers (q/k/v/o, gate/up/down) are quantized —
-embeddings, norms, heads and the attention math itself stay bf16/fp32, so
-sampler semantics (fp32 softmax, exact confidence ordering) are untouched.
+``quantize_qwen2_params`` covers the transformer dense layers (q/k/v/o,
+gate/up/down); embeddings, norms and the attention math stay bf16/fp32.
+``quantize_unigen_params(..., cfg)`` additionally adds int8 copies of the
+8k-wide image head, and ``lm_head=True`` of the full text head — these DO
+move the heads onto the int8 path, which can flip borderline sampled tokens;
+the per-step token-agreement and confidence-ordering gates in
+tests/test_quantization.py bound that effect and justify the int8 defaults.
 """
 from __future__ import annotations
 

@@ -251,8 +251,10 @@ class UniGenPipeline:
         """
         img_embeds = self._image_embeds(pixels)
         b, p, _ = img_embeds.shape
+        # full chat template: mmu_conv consumes the leading <|im_start|> via
+        # input_ids[:, 1:] (reference conv.get_prompt(), lmms unigen.py:340)
         q_ids = self.prompting._tokenize(
-            f"{question}<|im_end|>\n<|im_start|>assistant\n")[0]
+            f"<|im_start|>user\n{question}<|im_end|>\n<|im_start|>assistant\n")[0]
         q_arr = np.asarray([q_ids], np.int64)
         part1, part2, _, _ = self.prompting((np.zeros((b, p, 1)), q_arr, None,
                                              system_prompt_ids), "mmu_conv")
@@ -282,8 +284,11 @@ class UniGenPipeline:
         img_embeds = self._image_embeds(pixels)
         b, p, _ = img_embeds.shape
 
+        # full chat template: mmu_conv consumes the leading <|im_start|> via
+        # input_ids[:, 1:] (reference conv.get_prompt(), lmms unigen.py:340)
         q_ids = [self.prompting._tokenize(
-            f"{q}<|im_end|>\n<|im_start|>assistant\n")[0] for q in questions]
+            f"<|im_start|>user\n{q}<|im_end|>\n<|im_start|>assistant\n")[0]
+            for q in questions]
         maxq = max(len(q) for q in q_ids)
         q_arr = np.full((b, maxq), self.prompting.pad_id, np.int64)
         for i, q in enumerate(q_ids):

@@ -77,6 +77,11 @@ def make_sft_train_step(
     n = cfg.num_vq_tokens
     schedule = S.get_mask_schedule(tcfg.mask_schedule)
     naflex = isinstance(vision_cfg, siglip2.Siglip2Config)
+    if naflex and tcfg.n_grid > 0:
+        # NaFlex already sees native-resolution patch grids; silently training
+        # without the configured tiling would be a different model
+        raise ValueError("n_grid tiling is a fixed-res SigLIP feature; "
+                         "disable n_grid (or use SiglipConfig) with NaFlex")
     tile = None if naflex else vision_cfg.image_size
 
     def vision_features(vision_params, batch):
