@@ -211,6 +211,28 @@ def test_lmms_adapter_generate_until(pipe):
     assert wide.size == (60, 30)
 
 
+def test_vqa_splice_preserves_question_tokens(pipe):
+    """Regression: mmu_conv drops input_ids[:, 1:]; the pipeline's question
+    template must therefore carry the '<|im_start|>user\\n' prefix so no
+    question token is lost and the role header survives into part2."""
+    q = "what color is the car?"
+    q_ids = pipe._vqa_question_ids(q)
+    raw_q = np.asarray(pipe.prompting._tokenize(q)[0])
+    p = 4
+    part1, part2, _, _ = pipe.prompting(
+        (np.zeros((1, p, 1)), q_ids[None], None, None), "mmu_conv")
+    part2 = np.asarray(part2)[0]
+    # every raw question token appears contiguously in part2
+    seq = part2.tolist()
+    sub = raw_q.tolist()
+    assert any(seq[i:i + len(sub)] == sub for i in range(len(seq))), \
+        "question tokens were truncated by the mmu_conv splice"
+    # and the 'user\n' role header is present
+    user_ids = pipe.prompting._tokenize("user\n")[0]
+    sub = list(user_ids)
+    assert any(seq[i:i + len(sub)] == sub for i in range(len(seq)))
+
+
 def test_lmms_adapter_loglikelihood(pipe):
     """loglikelihood: greedy continuation must score is_greedy=True and beat a
     perturbed continuation; per-request values are deterministic."""

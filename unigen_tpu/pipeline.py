@@ -211,6 +211,16 @@ class UniGenPipeline:
                            max_new_tokens=max_new_tokens, temperature=temperature,
                            top_k=top_k, quantized_cache=self.quantized_cache)
 
+    def _vqa_question_ids(self, question: str) -> np.ndarray:
+        """Tokenized full chat template for one VQA question. mmu_conv consumes
+        the leading <|im_start|> via input_ids[:, 1:] (the reference feeds
+        conv.get_prompt() the same way, lmms unigen.py:340) — so the template
+        MUST carry the '<|im_start|>user\\n' prefix or the first question
+        token is silently dropped (regression: tests/test_pipeline.py)."""
+        return np.asarray(self.prompting._tokenize(
+            f"<|im_start|>user\n{question}<|im_end|>\n<|im_start|>assistant\n")[0],
+            np.int64)
+
     def _image_embeds(self, pixels: Array) -> Array:
         """Vision tower + MM projector (SigLIP fixed-res or SigLIP2-NaFlex)."""
         assert self.vision_params is not None, "pipeline built without a vision tower"
@@ -251,11 +261,7 @@ class UniGenPipeline:
         """
         img_embeds = self._image_embeds(pixels)
         b, p, _ = img_embeds.shape
-        # full chat template: mmu_conv consumes the leading <|im_start|> via
-        # input_ids[:, 1:] (reference conv.get_prompt(), lmms unigen.py:340)
-        q_ids = self.prompting._tokenize(
-            f"<|im_start|>user\n{question}<|im_end|>\n<|im_start|>assistant\n")[0]
-        q_arr = np.asarray([q_ids], np.int64)
+        q_arr = self._vqa_question_ids(question)[None]
         part1, part2, _, _ = self.prompting((np.zeros((b, p, 1)), q_arr, None,
                                              system_prompt_ids), "mmu_conv")
         cont = jnp.asarray(np.asarray(continuation_ids, np.int64)[None])
@@ -284,11 +290,7 @@ class UniGenPipeline:
         img_embeds = self._image_embeds(pixels)
         b, p, _ = img_embeds.shape
 
-        # full chat template: mmu_conv consumes the leading <|im_start|> via
-        # input_ids[:, 1:] (reference conv.get_prompt(), lmms unigen.py:340)
-        q_ids = [self.prompting._tokenize(
-            f"<|im_start|>user\n{q}<|im_end|>\n<|im_start|>assistant\n")[0]
-            for q in questions]
+        q_ids = [self._vqa_question_ids(q) for q in questions]
         maxq = max(len(q) for q in q_ids)
         q_arr = np.full((b, maxq), self.prompting.pad_id, np.int64)
         for i, q in enumerate(q_ids):
