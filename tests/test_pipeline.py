@@ -180,6 +180,36 @@ def test_understand_naflex_tower():
     assert (np.asarray(toks) >= 0).all()
 
 
+def test_lmms_adapter_naflex_tower():
+    """The adapter must route NaFlex towers through naflex_resize (no fixed
+    image_size exists on Siglip2Config) for both protocols."""
+    from PIL import Image
+    from unigen_tpu.models import siglip2 as SG2
+    from unigen_tpu.evaluation.lmms_adapter import UniGenLmmsAdapter
+    tok = DecodableMockTokenizer()
+    prompting = UniPrompting(tok, special_tokens=SPECIALS, max_seq_len=64,
+                             cond_dropout_prob=0.0)
+    cfg = U.UniGenConfig.tiny(text_vocab_len=len(tok), w_und_encoder=True,
+                              mm_input_dim=32)
+    vq_cfg = MV.MagvitConfig.tiny(resolution=8, z_channels=5)
+    vs_cfg = SG2.Siglip2Config.tiny(hidden_size=32, num_patches=16, patch_size=4)
+    pipe2 = UniGenPipeline(U.init(jax.random.key(0), cfg), cfg,
+                           MV.init(jax.random.key(1), vq_cfg), vq_cfg, prompting,
+                           vision_params=SG2.init(jax.random.key(2), vs_cfg),
+                           vision_cfg=vs_cfg)
+    adapter = UniGenLmmsAdapter(pipe2, use_system_prompt=False, max_new_tokens=3)
+    img = Image.new("RGB", (40, 24), (90, 40, 200))
+    prep = adapter._prepare_image(img)
+    # aspect preserved, dims patch-multiples, within the patch budget
+    assert prep.shape[0] % vs_cfg.patch_size == 0
+    assert prep.shape[1] % vs_cfg.patch_size == 0
+    assert (prep.shape[0] // 4) * (prep.shape[1] // 4) <= vs_cfg.num_patches
+    out = adapter.generate_until([("what?", {"max_new_tokens": 2}, img)])
+    assert len(out) == 1 and isinstance(out[0], str)
+    ll = adapter.loglikelihood([("what?", "yes", img)])
+    assert len(ll) == 1 and np.isfinite(ll[0][0])
+
+
 def test_run_cot_with_questions_map(pipe):
     qmap = {"a strange prompt": ["Is there a cup?", "Is it blue?"]}
     res, _, _ = COT.run_cot(pipe, ["a strange prompt"], jax.random.key(0),

@@ -52,15 +52,11 @@ def pad_image(image, target_resolution: Tuple[int, int]) -> np.ndarray:
     return canvas
 
 
-def naflex_preprocess(image, patch_size: int = 16, max_num_patches: int = 256):
-    """SigLIP2-NaFlex processor: aspect-preserving resize to ≤ max_num_patches
-    patches with patch-multiple dims, rescale + normalize(0.5, 0.5), patchify,
-    pad to max_num_patches (the HF Siglip2ImageProcessorFast semantics the
-    reference loads at llava_data_unified.py:316-321).
-
-    Returns {'pixel_values': [maxP, 3*p*p] f32, 'pixel_attention_mask': [maxP]
-    int32, 'spatial_shapes': [2] int32 (h, w in patches)}.
-    """
+def naflex_resize(image, patch_size: int = 16, max_num_patches: int = 256) -> np.ndarray:
+    """Aspect-preserving resize to ≤ max_num_patches patches with
+    patch-multiple dims + rescale + normalize(0.5, 0.5) — the image-space half
+    of ``naflex_preprocess``, for callers that patchify later (the pipeline's
+    NaFlex request path)."""
     from PIL import Image
     img = _to_pil(image).convert("RGB")
     w, h = img.size
@@ -77,7 +73,21 @@ def naflex_preprocess(image, patch_size: int = 16, max_num_patches: int = 256):
         else:
             break
     img = img.resize((tw, th), Image.BICUBIC)
-    x = (np.asarray(img, np.float32) / 255.0 - 0.5) / 0.5
+    return (np.asarray(img, np.float32) / 255.0 - 0.5) / 0.5
+
+
+def naflex_preprocess(image, patch_size: int = 16, max_num_patches: int = 256):
+    """SigLIP2-NaFlex processor: aspect-preserving resize to ≤ max_num_patches
+    patches with patch-multiple dims, rescale + normalize(0.5, 0.5), patchify,
+    pad to max_num_patches (the HF Siglip2ImageProcessorFast semantics the
+    reference loads at llava_data_unified.py:316-321).
+
+    Returns {'pixel_values': [maxP, 3*p*p] f32, 'pixel_attention_mask': [maxP]
+    int32, 'spatial_shapes': [2] int32 (h, w in patches)}.
+    """
+    x = naflex_resize(image, patch_size, max_num_patches)
+    p = patch_size
+    th, tw = x.shape[0], x.shape[1]
     hp, wp = th // p, tw // p
     patches = x.reshape(hp, p, wp, p, 3).transpose(0, 2, 1, 3, 4).reshape(hp * wp, -1)
     out = np.zeros((max_num_patches, patches.shape[-1]), np.float32)

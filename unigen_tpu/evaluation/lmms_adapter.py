@@ -59,8 +59,14 @@ class UniGenLmmsAdapter:
                 images = concat_images_horizontal(images)
             else:
                 images = images[0]
-        size = self.pipeline.vision_cfg.image_size
-        return siglip_preprocess(images, size)
+        from ..models import siglip2
+        vcfg = self.pipeline.vision_cfg
+        if isinstance(vcfg, siglip2.Siglip2Config):
+            # NaFlex tower: aspect-preserving resize within the patch budget;
+            # the pipeline patchifies per request (no fixed image_size exists)
+            from ..data.transform import naflex_resize
+            return naflex_resize(images, vcfg.patch_size, vcfg.num_patches)
+        return siglip_preprocess(images, vcfg.image_size)
 
     def generate_until(self, requests: List[Tuple[str, Dict, Any]]) -> List[str]:
         """requests: [(context, gen_kwargs, images)] -> generated strings.

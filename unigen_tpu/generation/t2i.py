@@ -58,6 +58,12 @@ def _cfg_head_logits(params, cfg: UniGenConfig, hidden_img: Array, bsz: int,
     ``cfg_combine="logits"``: the reference's exact operation order
     (g*(cond-uncond)+uncond on fp32 logits, unigen.py:409-414) — used by the
     cross-framework token-parity tests.
+
+    With an int8 head (``img_head_q``), the hidden-combine path quantizes the
+    *blended* activations — the result is the fp32 CFG formula plus bounded
+    W8A8 noise (the head is linear in fp32; quantization is the only extra
+    error term), which is exactly what the per-step token-agreement gate in
+    tests/test_quantization.py measures (int8-blend vs fp32-blend).
     """
     if use_cfg and cfg_combine == "hidden":
         hc = hidden_img[:bsz].astype(jnp.float32)

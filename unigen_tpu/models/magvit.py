@@ -125,7 +125,8 @@ def _fused_gn_conv(conv_p: Dict, gn_p: Optional[Dict], x: Array, fused: bool) ->
     """conv3x3(swish(GN(x))) — via the fused Pallas kernel when enabled and the
     shape qualifies (ops/fused_conv.py), else the plain XLA composition."""
     from ..ops import fused_conv as _fc
-    if fused and _fc.supported(x.shape, conv_p["kernel"].shape[-1]):
+    if fused and _fc.supported(x.shape, conv_p["kernel"].shape[-1],
+                               jnp.dtype(x.dtype).itemsize):
         return _fc.conv3x3_gn_swish(conv_p, gn_p, x)
     if gn_p is not None:
         x = swish(group_norm(gn_p, x))

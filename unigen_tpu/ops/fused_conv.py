@@ -147,20 +147,24 @@ def _kernel(ab_ref, w_ref, bias_ref, x_hbm, out_ref, slab, sems, *, TH, W, C, Co
         cur = nxt
 
 
-def _row_tile(H: int, W: int, C: int) -> int:
+def _row_tile(H: int, W: int, C: int, itemsize: int = 2) -> int:
     """Largest divisor of H keeping one slab slot around <=2.25MB: two slots
     (double buffering) + double-buffered out blocks + per-window temps fit
-    the ~16MB VMEM."""
-    TH = max(8, min(H, (2304 * 1024) // (W * C * 2) - 2))
+    the ~16MB VMEM. ``itemsize`` is the compute dtype's byte width (the fp32
+    path halves the row budget)."""
+    TH = max(8, min(H, (2304 * 1024) // (W * C * itemsize) - 2))
     while H % TH:
         TH -= 1
     return TH
 
 
-def supported(x_shape, cout: int) -> bool:
-    """Shape qualifies for the fused kernel (MXU lane alignment)."""
+def supported(x_shape, cout: int, itemsize: int = 2) -> bool:
+    """Shape qualifies for the fused kernel: MXU lane alignment and a row
+    tile that isn't degraded below 8 rows by an awkward H (prime heights
+    would force tiny tiles and per-step overhead would dominate)."""
     _, h, w, c = x_shape
-    return c % 128 == 0 and cout % 128 == 0 and h >= 8 and (h % _row_tile(h, w, c) == 0)
+    return (c % 128 == 0 and cout % 128 == 0 and h >= 8
+            and _row_tile(h, w, c, itemsize) >= 8)
 
 
 def _gn_affine(gn_p, x: Array, num_groups: int, eps: float) -> Array:
@@ -182,7 +186,7 @@ def _gn_affine(gn_p, x: Array, num_groups: int, eps: float) -> Array:
 def _fused_forward(conv_p, gn_p, x, num_groups, eps, interpret):
     B, H, W, C = x.shape
     Cout = conv_p["kernel"].shape[-1]
-    TH = _row_tile(H, W, C)
+    TH = _row_tile(H, W, C, jnp.dtype(x.dtype).itemsize)
     RC = 8 if TH % 8 == 0 else TH
     gn = gn_p is not None
     ab = (_gn_affine(gn_p, x, num_groups, eps) if gn

@@ -172,6 +172,14 @@ def create_attention_mask_for_mmu_vit(
     """Causal + bidirectional continuous-image block for the SigLIP path
     (reference: prompting_utils.py:1038-1074). ``num_tokens`` may be an int or a
     [B, 2] spatial_shapes array (NaFlex variable-length images).
+
+    Reference-faithful quirk: in the [B, 2] NaFlex case only the bidirectional
+    block is trimmed to each row's valid patch count — pad-patch slots
+    [start+img_lens, start+P) remain causally visible as *keys* to later
+    tokens, exactly as in the reference's tril-based builder (its loop at
+    :1061-1065 narrows the `= 1` block only). Golden-tested against the
+    reference; callers wanting stricter padding must mask those slots in the
+    1D attention themselves.
     """
     pos = jnp.arange(seq_len)
     causal = (pos[:, None] >= pos[None, :])[None, None]      # [1,1,L,L]

@@ -349,6 +349,9 @@ class UniGenPipeline:
 
 def pixels_to_uint8(pixels: Array) -> np.ndarray:
     """[-1,1] floats -> uint8 HWC images (reference save path,
-    inference_geneval.py:268-276)."""
-    x = np.asarray(jnp.clip((pixels + 1.0) / 2.0, 0.0, 1.0))
+    inference_geneval.py:268-276). uint8 input passes through unchanged."""
+    arr = np.asarray(pixels)
+    if arr.dtype == np.uint8:
+        return arr
+    x = np.clip((arr.astype(np.float32) + 1.0) / 2.0, 0.0, 1.0)
     return (x * 255.0).round().astype(np.uint8)
