@@ -199,6 +199,42 @@ def test_sharded_t2i_generation_on_mesh(eight_devices):
     assert (a >= 0).all() and (a < cfg.codebook_size).all()
 
 
+def test_tensor_parallel_t2i_matches_unsharded(eight_devices):
+    """TP serving: Megatron column/row-sharded params (model=2) through the
+    full prefix-cached sampler must reproduce the unsharded tokens — GSPMD
+    inserts the collectives; the sampler code is unchanged."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from unigen_tpu.generation import t2i_generate
+    from unigen_tpu.ops import masks as M
+    cfg = U.UniGenConfig.tiny()
+    params = U.init(jax.random.key(0), cfg)
+    rng = np.random.default_rng(1)
+    n, b = cfg.num_vq_tokens, 4
+    text = rng.integers(3, 100, size=(b, 6))
+    ids = jnp.asarray(np.concatenate([text, np.full((b, 1), 1),
+                                      np.full((b, n), cfg.mask_token_id),
+                                      np.full((b, 1), 2)], axis=1))
+    mask = M.create_attention_mask_predict_next(ids, 0, 1, 2, rm_pad_in_image=True)
+
+    def run(p, i, m, k):
+        return t2i_generate(p, cfg, k, i, m, timesteps=3, reuse_prefix_cache=True,
+                            pad_id=0)
+
+    ref = np.asarray(jax.jit(run)(params, ids, mask, jax.random.key(0)))
+
+    mesh = make_mesh(data=4, fsdp=1, model=2)
+    specs = partition_unigen(params)
+    params_tp = shard_params(params, specs, mesh)
+    ids_s = jax.device_put(ids, NamedSharding(mesh, P(("data",))))
+    with jax.set_mesh(mesh):
+        out = jax.jit(run)(params_tp, ids_s, mask, jax.random.key(0))
+    got = np.asarray(out)
+    agree = (ref == got).mean()
+    # sharded matmul partial-sum order can flip borderline draws; require
+    # near-total agreement (exact on this seed)
+    assert agree >= 0.95, f"TP sampler agreement {agree:.2f}"
+
+
 def test_fsdp_param_sharding_train_step(eight_devices):
     """ZeRO-style: params/optimizer state sharded on the fsdp axis via add_fsdp."""
     from unigen_tpu.parallel.partition import add_fsdp, sanitize_specs
