@@ -292,7 +292,9 @@ if __name__ == "__main__":
         bench_tokenizer(batch_size=int(args[1]) if len(args) > 1 else 16)
     else:
         # int8 W8A8 is the default (fastest exactness-gated config, BENCH.md);
-        # `python bench.py bf16` benches the full-precision path.
+        # `python bench.py bf16` benches the full-precision path. Batch 6 is
+        # the measured throughput peak (batch sweep in BENCH.md: 4: 3.14,
+        # 5: 3.13, 6: 3.18, 7: 3.08, 8: 2.94 img/s).
         quant = None if "bf16" in args else "int8"
         nums = [a for a in args if a.isdigit()]
-        main(batch_size=int(nums[0]) if nums else 4, quant=quant)
+        main(batch_size=int(nums[0]) if nums else 6, quant=quant)
