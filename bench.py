@@ -13,6 +13,7 @@ Random weights (identical FLOPs/memory traffic to trained ones).
 from __future__ import annotations
 
 import json
+import os
 import signal
 import sys
 import time
@@ -117,6 +118,14 @@ def main(batch_size: int = 8, timesteps: int = 50, warmup: int = 1, iters: int =
         return magvit.decode_code(vq_params, vq_cfg, codes)
 
     sampler = jax.jit(sample_codes)
+    if os.environ.get("BENCH_COST"):
+        # XLA's own accounting for the compiled sampler (cache-hit when warm):
+        # per-image flops/bytes across batch sizes localize scaling anomalies
+        ca = sampler.lower(params, ids, uncond, jax.random.key(2)).compile().cost_analysis()
+        print(f"[bench] cost: flops {ca.get('flops', 0) / 1e12:.2f}T "
+              f"bytes {ca.get('bytes accessed', 0) / 1e9:.2f}GB "
+              f"transc {ca.get('transcendentals', 0) / 1e9:.2f}G "
+              f"(batch {batch_size})", file=sys.stderr)
     decoder = jax.jit(decode)
 
     def sync_codes(x):
