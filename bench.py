@@ -51,7 +51,7 @@ def _enable_compile_cache():
         pass
 
 
-def main(batch_size: int = 8, timesteps: int = 50, warmup: int = 1, iters: int = 3,
+def main(batch_size: int = 6, timesteps: int = 50, warmup: int = 1, iters: int = 3,
          quant: Optional[str] = "int8"):
     import jax
     import jax.numpy as jnp
@@ -121,7 +121,9 @@ def main(batch_size: int = 8, timesteps: int = 50, warmup: int = 1, iters: int =
     if os.environ.get("BENCH_COST"):
         # XLA's own accounting for the compiled sampler (cache-hit when warm):
         # per-image flops/bytes across batch sizes localize scaling anomalies
-        ca = sampler.lower(params, ids, uncond, jax.random.key(2)).compile().cost_analysis()
+        with _Watchdog(1800):
+            ca = sampler.lower(params, ids, uncond,
+                               jax.random.key(2)).compile().cost_analysis()
         print(f"[bench] cost: flops {ca.get('flops', 0) / 1e12:.2f}T "
               f"bytes {ca.get('bytes accessed', 0) / 1e9:.2f}GB "
               f"transc {ca.get('transcendentals', 0) / 1e9:.2f}G "
@@ -306,4 +308,6 @@ if __name__ == "__main__":
         # 5: 3.13, 6: 3.18, 7: 3.08, 8: 2.94 img/s).
         quant = None if "bf16" in args else "int8"
         nums = [a for a in args if a.isdigit()]
-        main(batch_size=int(nums[0]) if nums else 6, quant=quant)
+        # bf16's documented/peak batch is 4 (BENCH.md)
+        default_batch = 6 if quant else 4
+        main(batch_size=int(nums[0]) if nums else default_batch, quant=quant)

@@ -104,6 +104,7 @@ case "$SUITE" in
       ORIGIN="${all_dir%/}_origin"
       mkdir -p "$ORIGIN"
       for inst in "$all_dir"*/; do
+        [[ -d "$inst" ]] || continue   # unmatched glob passes the literal '*'
         iid=$(basename "$inst")
         mkdir -p "${ORIGIN}/${iid}/samples"
         cp "${inst}metadata.jsonl" "${ORIGIN}/${iid}/" 2>/dev/null || true

@@ -210,6 +210,28 @@ def test_lmms_adapter_naflex_tower():
     assert len(ll) == 1 and np.isfinite(ll[0][0])
 
 
+def test_cot_vision_tower_rating_not_double_templated(pipe, monkeypatch):
+    """understand() applies the chat template itself; the CoT vision-tower
+    rater must hand it RAW user prompts (regression: double-wrapped
+    '<|im_start|>user' headers degrade the self-VQA rating)."""
+    seen = []
+    orig = type(pipe).understand
+
+    def spy(self, pixels, questions, key, **kw):
+        seen.extend(questions)
+        return orig(self, pixels, questions, key, **kw)
+
+    monkeypatch.setattr(type(pipe), "understand", spy)
+    res, _, _ = COT.run_cot(pipe, ["a photo of a cup"], jax.random.key(3),
+                            n_samples=2, topk=1, guidance_scale=0.0, timesteps=1,
+                            eval_text_len=6, style="rule", max_new_tokens=2,
+                            use_vision_tower=True)
+    assert seen, "vision-tower rater never called understand()"
+    assert all("<|im_start|>" not in q for q in seen), \
+        "pre-templated strings reached understand() — double wrapping"
+    assert len(res[0]["ratings"]) >= 1
+
+
 def test_run_cot_with_questions_map(pipe):
     qmap = {"a strange prompt": ["Is there a cup?", "Is it blue?"]}
     res, _, _ = COT.run_cot(pipe, ["a strange prompt"], jax.random.key(0),

@@ -151,8 +151,10 @@ def _row_tile(H: int, W: int, C: int, itemsize: int = 2) -> int:
     """Largest divisor of H keeping one slab slot around <=2.25MB: two slots
     (double buffering) + double-buffered out blocks + per-window temps fit
     the ~16MB VMEM. ``itemsize`` is the compute dtype's byte width (the fp32
-    path halves the row budget)."""
-    TH = max(8, min(H, (2304 * 1024) // (W * C * itemsize) - 2))
+    path halves the row budget). Returns the honest budget tile — possibly
+    <8 for very wide rows; ``supported()`` rejects those shapes rather than
+    letting a floor blow the VMEM budget."""
+    TH = max(1, min(H, (2304 * 1024) // (W * C * itemsize) - 2))
     while H % TH:
         TH -= 1
     return TH
