@@ -121,13 +121,18 @@ def main(batch_size: int = 6, timesteps: int = 50, warmup: int = 1, iters: int =
     if os.environ.get("BENCH_COST"):
         # XLA's own accounting for the compiled sampler (cache-hit when warm):
         # per-image flops/bytes across batch sizes localize scaling anomalies
-        with _Watchdog(1800):
-            ca = sampler.lower(params, ids, uncond,
-                               jax.random.key(2)).compile().cost_analysis()
-        print(f"[bench] cost: flops {ca.get('flops', 0) / 1e12:.2f}T "
-              f"bytes {ca.get('bytes accessed', 0) / 1e9:.2f}GB "
-              f"transc {ca.get('transcendentals', 0) / 1e9:.2f}G "
-              f"(batch {batch_size})", file=sys.stderr)
+        try:
+            with _Watchdog(1800):
+                ca = sampler.lower(params, ids, uncond,
+                                   jax.random.key(2)).compile().cost_analysis()
+            print(f"[bench] cost: flops {ca.get('flops', 0) / 1e12:.2f}T "
+                  f"bytes {ca.get('bytes accessed', 0) / 1e9:.2f}GB "
+                  f"transc {ca.get('transcendentals', 0) / 1e9:.2f}G "
+                  f"(batch {batch_size})", file=sys.stderr)
+        except TimeoutError:
+            # keep the one-JSON-line contract: the timed phases below will
+            # report not-synced if the relay is truly wedged
+            print("[bench] cost analysis timed out; continuing", file=sys.stderr)
     decoder = jax.jit(decode)
 
     def sync_codes(x):

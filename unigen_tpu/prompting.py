@@ -257,6 +257,10 @@ class UniPrompting:
 
         ign = self.ignore_id
         if input_ids_system is not None:
+            if input_ids_system.shape[0] == 1 and b > 1:
+                # callers tokenize the system prompt once; broadcast to the
+                # batch (the reference requires the caller to pre-stack it)
+                input_ids_system = np.tile(input_ids_system, (b, 1))
             part1 = np.concatenate([input_ids_system, part1], axis=1)
             labels = np.concatenate([
                 np.full_like(input_ids_system, ign),
