@@ -278,6 +278,7 @@ def bench_tokenizer(batch_size: int = 16):
         print(f"[bench] tokenizer compile+warmup: {time.perf_counter() - t0:.1f}s",
               file=sys.stderr)
     results = {}
+    reps = 5   # amortize the ~30ms relay dispatch/sync overhead per timing
     for name, fn, sync in (("encode", lambda: enc(vq_params, px),
                             lambda o: np.asarray(o[:, ::16])),
                            ("decode", lambda: dec(vq_params, codes),
@@ -286,8 +287,10 @@ def bench_tokenizer(batch_size: int = 16):
         for _ in range(3):
             with _Watchdog(300):
                 t0 = time.perf_counter()
-                sync(fn())
-                times.append(time.perf_counter() - t0)
+                for _ in range(reps):
+                    out = fn()
+                sync(out)
+                times.append((time.perf_counter() - t0) / reps)
         results[name] = batch_size * 256 / min(times)
         print(f"[bench] tokenizer {name}: {min(times):.3f}s", file=sys.stderr)
     print(json.dumps({"metric": "MAGViTv2 encode/decode codes/sec/chip @256px",
