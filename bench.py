@@ -266,29 +266,35 @@ def bench_tokenizer(batch_size: int = 16):
     px = jax.random.uniform(jax.random.key(1), (batch_size, 256, 256, 3),
                             jnp.bfloat16, -1, 1)
 
-    enc = jax.jit(lambda p, x: magvit.get_code(p, vq_cfg, x))
-    dec = jax.jit(lambda p, c: magvit.decode_code(p, vq_cfg, c))
+    # each rep consumes a scalar from the previous rep's output so the relay
+    # cannot overlap or elide any of the chained executions
+    enc = jax.jit(lambda p, x, t: magvit.get_code(p, vq_cfg, x + t.astype(x.dtype)))
+    dec = jax.jit(lambda p, c, t: magvit.decode_code(p, vq_cfg,
+                                                     c + t.astype(c.dtype)))
 
+    zero = jnp.zeros((), jnp.int32)
     with _Watchdog(480):
         t0 = time.perf_counter()
-        codes = enc(vq_params, px)
+        codes = enc(vq_params, px, zero)
         _ = np.asarray(codes[:, ::16])
-        pix = dec(vq_params, codes)
+        pix = dec(vq_params, codes, zero)
         _ = np.asarray(pix[:, ::64, ::64, 0])
         print(f"[bench] tokenizer compile+warmup: {time.perf_counter() - t0:.1f}s",
               file=sys.stderr)
     results = {}
     reps = 5   # amortize the ~30ms relay dispatch/sync overhead per timing
-    for name, fn, sync in (("encode", lambda: enc(vq_params, px),
+    for name, fn, sync in (("encode", lambda t: enc(vq_params, px, t),
                             lambda o: np.asarray(o[:, ::16])),
-                           ("decode", lambda: dec(vq_params, codes),
+                           ("decode", lambda t: dec(vq_params, codes, t),
                             lambda o: np.asarray(o[:, ::64, ::64, 0]))):
         times = []
         for _ in range(3):
             with _Watchdog(300):
                 t0 = time.perf_counter()
-                for _ in range(reps):
-                    out = fn()
+                out = fn(zero)
+                for _ in range(reps - 1):
+                    # chained dependency (one int32 scalar signature)
+                    out = fn((out.reshape(-1)[0] * 0).astype(jnp.int32))
                 sync(out)
                 times.append((time.perf_counter() - t0) / reps)
         results[name] = batch_size * 256 / min(times)

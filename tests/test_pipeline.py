@@ -232,6 +232,28 @@ def test_cot_vision_tower_rating_not_double_templated(pipe, monkeypatch):
     assert len(res[0]["ratings"]) >= 1
 
 
+def test_cot_vision_tower_rating_naflex(monkeypatch):
+    """The CoT rater must budget-resize candidates for NaFlex towers (raw
+    256px patchification would blow the patch budget / sequence length)."""
+    from unigen_tpu.models import siglip2 as SG2
+    tok = DecodableMockTokenizer()
+    prompting = UniPrompting(tok, special_tokens=SPECIALS, max_seq_len=64,
+                             cond_dropout_prob=0.0)
+    cfg = U.UniGenConfig.tiny(text_vocab_len=len(tok), w_und_encoder=True,
+                              mm_input_dim=32)
+    vq_cfg = MV.MagvitConfig.tiny(resolution=8, z_channels=5)
+    vs_cfg = SG2.Siglip2Config.tiny(hidden_size=32, num_patches=16, patch_size=4)
+    pipe2 = UniGenPipeline(U.init(jax.random.key(0), cfg), cfg,
+                           MV.init(jax.random.key(1), vq_cfg), vq_cfg, prompting,
+                           vision_params=SG2.init(jax.random.key(2), vs_cfg),
+                           vision_cfg=vs_cfg)
+    px = jax.random.uniform(jax.random.key(3), (2, 8, 8, 3), minval=-1, maxval=1)
+    rows = COT.rate_candidates(pipe2, px, "a photo of a cup", jax.random.key(4),
+                               style="rule", max_new_tokens=2,
+                               use_vision_tower=True)
+    assert len(rows) >= 2 and all("answer" in r for r in rows)
+
+
 def test_run_cot_with_questions_map(pipe):
     qmap = {"a strange prompt": ["Is there a cup?", "Is it blue?"]}
     res, _, _ = COT.run_cot(pipe, ["a strange prompt"], jax.random.key(0),
