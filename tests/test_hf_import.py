@@ -69,6 +69,79 @@ def test_import_unigen_with_vocab_resize():
     assert np.isfinite(np.asarray(h)).all()
 
 
+def test_import_weights_runbook_dryrun(tmp_path):
+    """Weights-arrival runbook end-to-end on a synthetic SHARDED reference
+    checkpoint (docs/WEIGHTS.md; VERDICT r2 item 9): scripts/import_weights.py
+    converts the torch layout to our portable format, and launch.build_unigen
+    auto-detects + reloads the converted dir bit-identically to a direct
+    import."""
+    torch = pytest.importorskip("torch")
+    import sys
+    from safetensors.numpy import save_file
+    from transformers import Qwen2Config as HFConfig
+    from transformers import Qwen2ForCausalLM
+
+    from unigen_tpu import launch
+    from unigen_tpu.utils.configuration import Config
+
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "scripts"))
+    import import_weights as IW
+
+    hf_cfg = HFConfig(vocab_size=480, hidden_size=64, intermediate_size=128,
+                      num_hidden_layers=2, num_attention_heads=4,
+                      num_key_value_heads=2, head_dim=16, rope_theta=1e4,
+                      tie_word_embeddings=True, attn_implementation="eager")
+    torch.manual_seed(0)
+    sd = {f"llm.{k}": v.detach().numpy()
+          for k, v in Qwen2ForCausalLM(hf_cfg).state_dict().items()}
+    # shard into several files + index like a real multi-file checkpoint
+    src = tmp_path / "ref_ckpt" / "unwrapped_model"
+    src.mkdir(parents=True)
+    keys = sorted(sd)
+    nsh = 3
+    weight_map = {}
+    for i in range(nsh):
+        name = f"model-{i + 1:05d}-of-{nsh:05d}.safetensors"
+        shard = {k: sd[k] for k in keys[i::nsh]}
+        save_file(shard, str(src / name))
+        weight_map.update({k: name for k in shard})
+    with open(src / "model.safetensors.index.json", "w") as f:
+        json.dump({"weight_map": weight_map}, f)
+
+    config = Config.wrap({
+        "model": {"max_len_mode": "text",
+                  "unigen": {"llm_model_path": "does-not-exist",
+                             "pretrained_model_path": "",
+                             "codebook_size": 32, "num_vq_tokens": 16,
+                             "hidden_size": 64, "intermediate_size": 128,
+                             "num_hidden_layers": 2, "num_attention_heads": 4,
+                             "num_key_value_heads": 2, "head_dim": 16,
+                             "rope_theta": 1e4}},
+        "dataset": {"preprocessing": {"max_seq_length": 32}},
+        "training": {"cond_dropout_prob": 0.0},
+    })
+    out = str(tmp_path / "converted")
+    written = IW.convert(config, unigen_src=str(tmp_path / "ref_ckpt"), out=out)
+    assert set(written) == {"unigen"}
+    conv_dir = written["unigen"]
+    assert os.path.exists(os.path.join(conv_dir, "config.json"))
+
+    # the exact swap the runbook documents: point pretrained_model_path at the
+    # converted dir and rebuild — the native format is auto-detected
+    tokenizer = launch.load_tokenizer(config)
+    prompting = launch.build_prompting(config, tokenizer)
+    config.model.unigen.pretrained_model_path = conv_dir
+    params, cfg = launch.build_unigen(config, prompting)
+
+    direct = HI.import_unigen(sd, cfg)
+    import chex
+    chex.assert_trees_all_close(params, direct)
+    # and the loaded model runs
+    h, _ = Q.forward(params["llm"], cfg.llm, input_ids=jnp.asarray([[1, 2, 3]]))
+    assert np.isfinite(np.asarray(h)).all()
+
+
 def test_sft_step_runs():
     from unigen_tpu.training import lr_schedules as LRS
     from unigen_tpu.training.optimizer import make_optimizer

@@ -36,6 +36,45 @@ N_IMG = 16
 VOCAB = TEXT_VOCAB + CODEBOOK + 1
 PAD, SOI, EOI = 1, 2, 3
 
+# --- real-weights mode (docs/WEIGHTS.md §3): UNIGEN_PARITY_CKPT points at a
+# trained reference 'unwrapped_model' dir and UNIGEN_PARITY_LLM at the HF
+# backbone dir (config.json). Geometry is then derived from the checkpoint and
+# every parity assertion below runs token-exact on the real weights.
+PARITY_CKPT = os.environ.get("UNIGEN_PARITY_CKPT")
+PARITY_LLM = os.environ.get("UNIGEN_PARITY_LLM")
+
+
+def _ckpt_tensor_shape(path: str, key: str):
+    """Shape of one tensor in a (possibly sharded) safetensors dir, reading
+    only headers."""
+    import glob as _glob
+    from safetensors import safe_open
+    index = _glob.glob(os.path.join(path, "*.index.json"))
+    if index:
+        with open(index[0]) as f:
+            fn = os.path.join(path, json.load(f)["weight_map"][key])
+        files = [fn]
+    else:
+        files = _glob.glob(os.path.join(path, "*.safetensors"))
+    for fn in files:
+        with safe_open(fn, framework="numpy") as f:
+            if key in f.keys():
+                return tuple(f.get_slice(key).get_shape())
+    raise KeyError(key)
+
+
+if PARITY_CKPT:
+    VOCAB = _ckpt_tensor_shape(PARITY_CKPT, "llm.model.embed_tokens.weight")[0]
+    try:  # gen-branch checkpoints carry the codebook width in img_head
+        CODEBOOK = _ckpt_tensor_shape(PARITY_CKPT, "img_head.weight")[0]
+    except KeyError:  # tied-head checkpoints: MAGViTv2's 8192 unless told otherwise
+        CODEBOOK = int(os.environ.get("UNIGEN_PARITY_CODEBOOK", "8192"))
+    TEXT_VOCAB = VOCAB - CODEBOOK - 1
+    N_IMG = int(os.environ.get("UNIGEN_PARITY_NUM_VQ", "256"))
+    if VOCAB > 151666:
+        # the trained specials: Qwen pad + the first two TRAIN_SPECIAL_TOKENS
+        PAD, SOI, EOI = 151643, 151665, 151666
+
 
 @pytest.fixture(scope="module")
 def torch():
@@ -83,7 +122,46 @@ def _our_config(gen_proj_depth=0):
 
 
 def _build_pair(ref_unigen, torch, tmp_path_factory, gen_proj_depth=0, seed=0):
-    """(reference UniGen fp32 random weights, our params imported from it)."""
+    """(reference UniGen fp32 random weights, our params imported from it).
+
+    With UNIGEN_PARITY_CKPT set, the TRAINED state dict is loaded into both
+    frameworks instead (the 'weight-file swap' of docs/WEIGHTS.md §3) and every
+    downstream assertion runs unchanged."""
+    from unigen_tpu.utils import hf_import
+    if PARITY_CKPT:
+        sd = hf_import.load_state_dict(PARITY_CKPT)
+        with open(os.path.join(PARITY_LLM, "config.json")) as f:
+            hf_cfg = json.load(f)
+        gen_depth = sum(1 for k in sd if k.startswith("gen_projector.")
+                        and k.endswith(".weight"))
+        ref = ref_unigen.UniGen(
+            w_und_encoder=any(k.startswith("mm_projector.") for k in sd),
+            vocab_size=VOCAB, llm_vocab_size=hf_cfg["vocab_size"],
+            llm_model_path=PARITY_LLM, codebook_size=CODEBOOK,
+            num_vq_tokens=N_IMG, load_from_pretrained=True,
+            gen_proj_depth=gen_depth)
+        ref.load_state_dict({k: torch.tensor(np.asarray(v)) for k, v in sd.items()})
+        ref = ref.eval().float()
+        from unigen_tpu.models import qwen2 as Q
+        from unigen_tpu.models import unigen as U
+        llm = Q.Qwen2Config(
+            vocab_size=VOCAB, hidden_size=hf_cfg["hidden_size"],
+            intermediate_size=hf_cfg["intermediate_size"],
+            num_hidden_layers=hf_cfg["num_hidden_layers"],
+            num_attention_heads=hf_cfg["num_attention_heads"],
+            num_key_value_heads=hf_cfg["num_key_value_heads"],
+            head_dim=hf_cfg.get("head_dim",
+                                hf_cfg["hidden_size"] // hf_cfg["num_attention_heads"]),
+            rope_theta=hf_cfg.get("rope_theta", 1e6),
+            tie_word_embeddings=hf_cfg.get("tie_word_embeddings", True),
+            dtype=jnp.float32)
+        cfg = U.UniGenConfig(
+            llm=llm, vocab_size=VOCAB, llm_vocab_size=hf_cfg["vocab_size"],
+            text_vocab_len=TEXT_VOCAB, codebook_size=CODEBOOK,
+            num_vq_tokens=N_IMG,
+            w_und_encoder=any(k.startswith("mm_projector.") for k in sd),
+            gen_proj_depth=gen_depth)
+        return ref, cfg, hf_import.import_unigen(sd, cfg)
     torch.manual_seed(seed)
     ref = ref_unigen.UniGen(
         w_und_encoder=False, vocab_size=VOCAB, llm_vocab_size=TEXT_VOCAB,
@@ -91,7 +169,6 @@ def _build_pair(ref_unigen, torch, tmp_path_factory, gen_proj_depth=0, seed=0):
         codebook_size=CODEBOOK, num_vq_tokens=N_IMG, load_from_pretrained=True,
         gen_proj_depth=gen_proj_depth)
     ref = ref.eval().float()
-    from unigen_tpu.utils import hf_import
     sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
     cfg = _our_config(gen_proj_depth)
     params = hf_import.import_unigen(sd, cfg)
@@ -298,6 +375,64 @@ def test_t2i_generate_token_exact(pair, ref_models, torch, monkeypatch,
 
 
 # ---------------------------------------------------------------------------
+# (b2) token-exact t2i_generate_ar under shared noise
+# ---------------------------------------------------------------------------
+
+def test_t2i_generate_ar_token_exact(pair, ref_models, torch, monkeypatch):
+    """AR image generation (reference models/unigen.py:457-521): prefill + KV
+    cache + CFG + per-token multinomial — token-for-token vs the reference
+    under shared pre-drawn uniforms (patched torch.multinomial on their side,
+    the noise= hook on ours)."""
+    ref, cfg, params = pair
+    from unigen_tpu.generation import t2i
+
+    B = 2
+    rng = np.random.default_rng(11)
+    ids, uncond = _t2i_prompts(rng, B)
+    u = rng.random((N_IMG, B, CODEBOOK), dtype=np.float64).astype(np.float32)
+
+    sample_q = list(u)
+
+    def _gumbel(x):
+        inner = -torch.log(torch.clamp(x, min=1e-20))
+        return -torch.log(torch.clamp(inner, min=1e-20))
+
+    def fake_multinomial(probs, num_samples, generator=None, **kw):
+        assert num_samples == 1
+        un = torch.tensor(sample_q.pop(0).reshape(-1, probs.shape[-1]))
+        idx = (torch.log(torch.clamp(probs, min=1e-20)) + _gumbel(un)).argmax(dim=-1)
+        return idx[:, None]
+
+    monkeypatch.setattr(torch, "multinomial", fake_multinomial)
+    # the reference hard-codes .cuda() on its output buffer (unigen.py:470)
+    monkeypatch.setattr(torch.Tensor, "cuda", lambda self, *a, **k: self)
+
+    lp = ids.shape[1] - (N_IMG + 1)
+    att = torch.ones((2 * B, lp + N_IMG), dtype=torch.long)
+    with torch.no_grad():
+        # NOTE: the reference's input_ids AR path is broken as written — it
+        # forwards the raw id tensor as inputs_embeds (unigen.py:482-489) and
+        # crashes inside the LLM; every reference caller passes input_ids
+        # (train.py:1055-1063), so AR generation cannot actually run upstream.
+        # Parity is demonstrated through its *embeddings* path, which is the
+        # same loop with the embedding lookup done by the caller.
+        emb = ref.llm.model.embed_tokens(torch.tensor(ids))
+        emb_u = ref.llm.model.embed_tokens(torch.tensor(uncond))
+        r_tokens = ref.t2i_generate_ar(
+            input_ids=torch.tensor(ids),  # used only for bsz/output alloc
+            input_embeddings=emb, uncond_input_embeddings=emb_u,
+            attention_mask=att, guidance_scale=6, temperature=1.0,
+            text_vocab_size=TEXT_VOCAB, image_token_num_per_image=N_IMG)
+    assert not sample_q  # all N_IMG draws consumed
+
+    o_tokens = t2i.t2i_generate_ar(
+        params, cfg, jax.random.key(0), jnp.asarray(ids), jnp.asarray(uncond),
+        jnp.ones((2 * B, ids.shape[1]), jnp.int32), guidance_scale=6.0,
+        temperature=1.0, noise=jnp.asarray(u))
+    np.testing.assert_array_equal(np.asarray(o_tokens), r_tokens.numpy())
+
+
+# ---------------------------------------------------------------------------
 # (c) greedy mmu_generate parity
 # ---------------------------------------------------------------------------
 
@@ -330,6 +465,111 @@ def test_mmu_generate_greedy_token_exact(pair, ref_models, torch):
         attention_mask=mask_j, prompt_len=jnp.asarray([L]),
         max_new_tokens=n_new, temperature=0.0)
     assert np.asarray(o_tokens)[0].tolist() == r_tokens
+
+
+def test_mmu_generate_sampled_token_exact(pair, ref_models, torch, monkeypatch):
+    """Temperature + top-k VQA decode (reference unigen.py:561-570): shared
+    pre-drawn uniforms through patched torch.multinomial vs our noise= hook —
+    token-for-token including the top-k filter and temperature scaling."""
+    ref, cfg, params = pair
+    pm = _ref_prompting(torch)
+    from unigen_tpu.generation import decode
+    from unigen_tpu.ops import masks as M
+
+    rng = np.random.default_rng(13)
+    L = 2 + N_IMG + 1 + 6
+    ids = rng.integers(4, TEXT_VOCAB, size=(1, L))
+    ids[0, 1] = SOI
+    ids[0, 2:2 + N_IMG] = rng.integers(0, CODEBOOK, size=N_IMG) + TEXT_VOCAB
+    ids[0, 2 + N_IMG] = EOI
+
+    n_new, temp, top_k = 6, 0.8, 5
+    u = rng.random((n_new, 1, VOCAB), dtype=np.float64).astype(np.float32)
+    sample_q = list(u)
+
+    def _gumbel(x):
+        inner = -torch.log(torch.clamp(x, min=1e-20))
+        return -torch.log(torch.clamp(inner, min=1e-20))
+
+    def fake_multinomial(probs, num_samples, generator=None, **kw):
+        assert num_samples == 1
+        un = torch.tensor(sample_q.pop(0).reshape(-1, probs.shape[-1]))
+        idx = (torch.log(torch.clamp(probs, min=1e-20)) + _gumbel(un)).argmax(dim=-1)
+        return idx[:, None]
+
+    monkeypatch.setattr(torch, "multinomial", fake_multinomial)
+
+    ids_t = torch.tensor(ids)
+    mask_t = pm.create_attention_mask_for_mmu(ids_t, eoi_id=EOI)
+    with torch.no_grad():
+        r_tokens = [int(t) for t in ref.mmu_generate(
+            idx=ids_t, attention_mask=mask_t, max_new_tokens=n_new,
+            temperature=temp, top_k=top_k)]
+    assert not sample_q
+
+    mask_j = M.create_attention_mask_for_mmu(jnp.asarray(ids), eoi_id=EOI)
+    o_tokens = decode.mmu_generate(
+        params, cfg, jax.random.key(0), input_ids=jnp.asarray(ids),
+        attention_mask=mask_j, prompt_len=jnp.asarray([L]),
+        max_new_tokens=n_new, temperature=temp, top_k=top_k,
+        noise=jnp.asarray(u))
+    assert np.asarray(o_tokens)[0].tolist() == r_tokens
+
+
+# ---------------------------------------------------------------------------
+# (c2) the real-weights swap machinery, drilled on a synthetic checkpoint
+# ---------------------------------------------------------------------------
+
+def test_parity_ckpt_swap_dryrun(pair, ref_models, torch, tmp_path):
+    """docs/WEIGHTS.md §3: re-running this file against a TRAINED checkpoint is
+    'a weight-file swap'. Drill the swap itself: export the tiny random pair as
+    a sharded reference-layout checkpoint, then re-run two parity tests in a
+    subprocess with UNIGEN_PARITY_CKPT pointing at it — the env path must load
+    the state dict into both frameworks and the token-exact assertions must
+    hold."""
+    import subprocess
+    import sys as _sys
+    if PARITY_CKPT:
+        pytest.skip("already running in real-weights mode")
+    ref, cfg, params = pair
+    from safetensors.numpy import save_file
+
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    ck = tmp_path / "unwrapped_model"
+    ck.mkdir()
+    keys = sorted(sd)
+    weight_map = {}
+    for i in range(2):
+        name = f"model-{i + 1:05d}-of-00002.safetensors"
+        shard = {k: sd[k] for k in keys[i::2]}
+        save_file(shard, str(ck / name))
+        weight_map.update({k: name for k in shard})
+    (ck / "model.safetensors.index.json").write_text(
+        json.dumps({"weight_map": weight_map}))
+    llm_dir = tmp_path / "llm"
+    llm_dir.mkdir()
+    (llm_dir / "config.json").write_text(json.dumps({
+        "architectures": ["Qwen2ForCausalLM"], "model_type": "qwen2",
+        "hidden_size": 64, "intermediate_size": 128, "num_hidden_layers": 2,
+        "num_attention_heads": 4, "num_key_value_heads": 2, "head_dim": 16,
+        "vocab_size": TEXT_VOCAB, "max_position_embeddings": 512,
+        "rope_theta": 10000.0, "rms_norm_eps": 1e-6,
+        "tie_word_embeddings": False, "hidden_act": "silu",
+        "torch_dtype": "float32", "attention_dropout": 0.0,
+        "initializer_range": 0.02, "use_cache": True}))
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ, UNIGEN_PARITY_CKPT=str(ck),
+               UNIGEN_PARITY_LLM=str(llm_dir),
+               UNIGEN_PARITY_NUM_VQ=str(N_IMG),
+               UNIGEN_PARITY_CODEBOOK=str(CODEBOOK))
+    r = subprocess.run(
+        [_sys.executable, "-m", "pytest", "-q",
+         "tests/test_model_parity.py::test_forward_3task_parity",
+         "tests/test_model_parity.py::test_mmu_generate_greedy_token_exact"],
+        cwd=repo, env=env, capture_output=True, text=True, timeout=600)
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert ".." in r.stdout and "s" not in r.stdout.split("[")[0], \
+        f"expected 2 executed (not skipped) tests, got: {r.stdout!r}"
 
 
 # ---------------------------------------------------------------------------

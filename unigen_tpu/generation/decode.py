@@ -25,26 +25,33 @@ from ..ops import sampling as S
 Array = jax.Array
 
 
-def _sample_step(key: Array, logits: Array, temperature: float, top_k: Optional[int]) -> Array:
-    """Greedy (temperature==0) or temperature/top-k sampling (reference :561-570)."""
+def _sample_step(key: Array, logits: Array, temperature: float, top_k: Optional[int],
+                 inj: Optional[Array] = None) -> Array:
+    """Greedy (temperature==0) or temperature/top-k sampling (reference :561-570).
+
+    ``inj``: pre-drawn uniform[0,1) noise [B, V] consumed instead of the key
+    (shared-noise cross-framework parity mode)."""
     if temperature > 0:
         logits = logits / temperature
         if top_k is not None:
             kth = jax.lax.top_k(logits, min(top_k, logits.shape[-1]))[0][..., -1:]
             logits = jnp.where(logits < kth, -jnp.inf, logits)
         probs = jax.nn.softmax(logits, axis=-1)
+        if inj is not None:
+            g = -S.safe_log(-S.safe_log(inj.astype(probs.dtype)))
+            return jnp.argmax(S.safe_log(probs) + g, axis=-1)
         return S.sample_categorical(key, probs)
     return jnp.argmax(logits, axis=-1)
 
 
 def _decode_loop(params, cfg: UniGenConfig, key, cache, valid, first_tok, prompt_len,
-                 max_new_tokens, temperature, top_k, eot_token):
+                 max_new_tokens, temperature, top_k, eot_token, noise=None):
     """Shared cached decode: first_tok is the token sampled from prefill."""
     total = cache.k.shape[2]
     b = valid.shape[0]
     eot = -1 if eot_token is None else eot_token
 
-    def step(carry, _):
+    def step(carry, inj):
         cache_c, valid_c, tok, done, k, t = carry
         k, k_s = jax.random.split(k)
         emb = embed_tokens(params, tok)
@@ -55,7 +62,7 @@ def _decode_loop(params, cfg: UniGenConfig, key, cache, valid, first_tok, prompt
         hidden, cache_c = qwen2.forward(params["llm"], cfg.llm, inputs_embeds=emb,
                                         mask=mask, positions=pos, cache=cache_c)
         logits = qwen2.logits(params["llm"], cfg.llm, hidden[:, -1]).astype(jnp.float32)
-        nxt = _sample_step(k_s, logits, temperature, top_k)
+        nxt = _sample_step(k_s, logits, temperature, top_k, inj)
         nxt = jnp.where(done, eot, nxt)
         done = done | (nxt == eot) if eot_token is not None else done
         return (cache_c, valid_c, nxt[:, None], done, k, t + 1), tok[:, 0]
@@ -64,7 +71,9 @@ def _decode_loop(params, cfg: UniGenConfig, key, cache, valid, first_tok, prompt
     # the incoming first_tok is decode-token 0: its RoPE position is prompt_len + 0
     init = (cache, valid, first_tok[:, None], done0, key,
             jnp.zeros((b,), jnp.int32))
-    (_, _, last, _, _, _), toks = jax.lax.scan(step, init, None, length=max_new_tokens - 1)
+    (_, _, last, _, _, _), toks = jax.lax.scan(
+        step, init, None if noise is None else noise[1:],
+        length=max_new_tokens - 1)
     toks = jnp.moveaxis(toks, 0, 1)
     return jnp.concatenate([toks, last], axis=1)
 
@@ -83,12 +92,15 @@ def mmu_generate(
     top_k: Optional[int] = None,
     eot_token: Optional[int] = None,
     quantized_cache: bool = False,
+    noise: Optional[Array] = None,
 ) -> Array:
     """VQA / captioning decode (reference: models/unigen.py:523-581), cached.
 
     Returns [B, max_new_tokens] token ids; rows stop at ``eot_token`` and then
     repeat it. ``quantized_cache`` stores K/V int8 (halves the decode loop's
-    cache bandwidth at ~1e-2 relative error).
+    cache bandwidth at ~1e-2 relative error). ``noise``: optional pre-drawn
+    uniform[0,1) [max_new_tokens, B, V] for the shared-noise parity mode
+    (see generation/t2i.py docstrings).
     """
     if input_embeddings is None:
         input_embeddings = embed_tokens(params, input_ids)
@@ -109,12 +121,13 @@ def mmu_generate(
         last_idx, (b, 1, hidden.shape[-1])), axis=1)[:, 0]
     k0, key = jax.random.split(key)
     first = _sample_step(k0, qwen2.logits(params["llm"], cfg.llm, last_hidden
-                                          ).astype(jnp.float32), temperature, top_k)
+                                          ).astype(jnp.float32), temperature, top_k,
+                         None if noise is None else noise[0])
 
     row_valid = (pos < prompt_len[:, None])
     valid = jnp.concatenate([row_valid, jnp.zeros((b, max_new_tokens), bool)], axis=1)
     return _decode_loop(params, cfg, key, cache, valid, first, prompt_len,
-                        max_new_tokens, temperature, top_k, eot_token)
+                        max_new_tokens, temperature, top_k, eot_token, noise)
 
 
 def generate_text(

@@ -122,7 +122,21 @@ def t2i_generate(
     consumed instead of the PRNG key — two samplers fed identical noise and
     identical logits emit identical tokens (tests/test_model_parity.py drives
     the torch reference through the same arrays).
+
+    ``cfg_combine`` — NOTE the default DIVERGES from the reference's operation
+    order: the reference applies CFG on fp32 logits (unigen.py:409-414);
+    ``"hidden"`` (default) blends the cond/uncond *hidden states* and runs one
+    head matmul, which is algebraically identical for the bias-free linear
+    head but changes the rounding story under bf16/int8. The default path is
+    gated by agreement tests at flagship layer widths in BOTH regimes
+    (tests/test_quantization.py::test_t2i_cfg_combine_hidden_matches_logits,
+    ::test_t2i_cfg_combine_hidden_bf16_flagship_gate); pass
+    ``cfg_combine="logits"`` for the reference's exact op order (the
+    cross-framework parity tests pin it).
     """
+    if cfg_combine not in ("hidden", "logits"):
+        raise ValueError(
+            f"cfg_combine must be 'hidden' or 'logits', got {cfg_combine!r}")
     n = image_token_num_per_image or cfg.num_vq_tokens
     if reuse_prefix_cache:
         return _t2i_generate_prefix_cached(
@@ -327,9 +341,15 @@ def t2i_generate_ar(
     temperature: float = 1.0,
     image_token_num_per_image: Optional[int] = None,
     quantized_cache: bool = False,
+    noise: Optional[Array] = None,
 ) -> Array:
     """Autoregressive image generation with CFG and a KV cache
-    (reference: models/unigen.py:457-521). Returns [B, N] codebook ids."""
+    (reference: models/unigen.py:457-521). Returns [B, N] codebook ids.
+
+    ``noise``: optional pre-drawn uniform[0,1) array [N, B, CB] — the
+    shared-noise hook for cross-framework token parity (consumed instead of
+    the PRNG key, one slice per generated token; the torch reference consumes
+    the same array through a patched ``torch.multinomial``)."""
     n = image_token_num_per_image or cfg.num_vq_tokens
     bsz = input_ids.shape[0]
     prompt = jnp.concatenate([input_ids[:, :-(n + 1)], uncond_input_ids[:, :-(n + 1)]], axis=0)
@@ -351,17 +371,20 @@ def t2i_generate_ar(
 
     valid0 = jnp.concatenate([pad_keep, jnp.zeros((2 * bsz, n), bool)], axis=1)  # [2B, S]
 
-    def sample_from(hidden_last, k, ids_so_far_unused):
+    def sample_from(hidden_last, k, inj):
         logits = _image_head(params, cfg, hidden_last)[:, 0]           # [2B, CB]
         cond, uncond = logits[:bsz], logits[bsz:]
         logits = uncond + guidance_scale * (cond - uncond)
         probs = jax.nn.softmax(logits / temperature, axis=-1)
+        if inj is not None:                                            # parity mode
+            g = -S.safe_log(-S.safe_log(inj.astype(probs.dtype)))
+            return jnp.argmax(S.safe_log(probs) + g, axis=-1)
         return S.sample_categorical(k, probs)                          # [B]
 
     k0, key = jax.random.split(key)
-    first = sample_from(hidden[:, -1:], k0, None)
+    first = sample_from(hidden[:, -1:], k0, None if noise is None else noise[0])
 
-    def step(carry, _):
+    def step(carry, inj):
         cache_c, valid, tok, k = carry
         k, k_s = jax.random.split(k)
         tok2 = jnp.concatenate([tok, tok], axis=0)                     # [2B, 1] cond+uncond
@@ -372,10 +395,12 @@ def t2i_generate_ar(
         pos_ids = jnp.broadcast_to(slot[None, None], (2 * bsz, 1)).astype(jnp.int32)
         hidden_i, cache_c = qwen2.forward(params["llm"], cfg.llm, inputs_embeds=emb,
                                           mask=mask, positions=pos_ids, cache=cache_c)
-        nxt = sample_from(hidden_i, k_s, None)
+        nxt = sample_from(hidden_i, k_s, inj)
         return (cache_c, valid, nxt[:, None], k), tok[:, 0]
 
     init = (cache, valid0, first[:, None], key)
-    (_, _, last, _), toks = jax.lax.scan(step, init, jnp.arange(1, n))
+    (_, _, last, _), toks = jax.lax.scan(step, init,
+                                         None if noise is None else noise[1:],
+                                         length=n - 1)
     toks = jnp.moveaxis(toks, 0, 1)                                    # [B, n-1]
     return jnp.concatenate([toks, last], axis=1)

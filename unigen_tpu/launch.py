@@ -47,6 +47,31 @@ TRAIN_SPECIAL_TOKENS = ("<|soi|>", "<|eoi|>", "<|sov|>", "<|eov|>", "<|t2i|>",
                         "<|mmu|>", "<|t2v|>", "<|v2v|>", "<|lvg|>")
 
 
+def _is_native_checkpoint(path: str) -> bool:
+    """True when ``path`` holds our persistence-format checkpoint ('/'-joined
+    pytree paths in safetensors, utils/persistence.py) rather than a
+    reference/HF torch layout ('.'-separated module names). Lets every loader
+    accept either format, so checkpoints converted once by
+    scripts/import_weights.py reload without re-running the torch key mapping."""
+    import glob as _glob
+    files = _glob.glob(os.path.join(path, "*.safetensors"))
+    if not files:
+        return False
+    from safetensors import safe_open
+    with safe_open(files[0], framework="numpy") as f:
+        for k in f.keys():
+            return "/" in k
+    return False
+
+
+def _load_native(path: str, init_fn, template_key: int):
+    """Load a native checkpoint against the abstract init structure (no
+    memory spent materializing a random template)."""
+    from .utils.persistence import from_pretrained
+    template = jax.eval_shape(init_fn, jax.random.key(template_key))
+    return from_pretrained(path, template)[0]
+
+
 class FallbackTokenizer:
     """Deterministic byte-level tokenizer used when no Qwen tokenizer is on disk.
 
@@ -138,8 +163,9 @@ def build_prompting(config: Config, tokenizer) -> UniPrompting:
         task_token_first=config.model.get("task_token_first", True))
 
 
-def build_unigen(config: Config, prompting: UniPrompting, dtype=None
-                 ) -> Tuple[Any, unigen.UniGenConfig]:
+def build_unigen_config(config: Config, prompting: UniPrompting, dtype=None
+                        ) -> unigen.UniGenConfig:
+    """The UniGenConfig a run's YAML + tokenizer imply (no weights touched)."""
     import jax.numpy as jnp
     mcfg = config.model.unigen
     text_vocab_len = len(prompting.text_tokenizer)
@@ -152,7 +178,7 @@ def build_unigen(config: Config, prompting: UniPrompting, dtype=None
         if mcfg.get(k) is not None:
             llm_kw[k] = int(mcfg[k])
     llm_cfg = unigen.Qwen2Config(**llm_kw)
-    cfg = unigen.UniGenConfig(
+    return unigen.UniGenConfig(
         llm=llm_cfg, vocab_size=vocab,
         llm_vocab_size=prompting.text_tokenizer.vocab_size,
         text_vocab_len=text_vocab_len,
@@ -164,13 +190,20 @@ def build_unigen(config: Config, prompting: UniPrompting, dtype=None
         use_gen_dim=mcfg.get("use_gen_dim", False),
         gen_input_dim=mcfg.get("gen_input_dim", 16))
 
+
+def build_unigen(config: Config, prompting: UniPrompting, dtype=None
+                 ) -> Tuple[Any, unigen.UniGenConfig]:
+    cfg = build_unigen_config(config, prompting, dtype)
+    mcfg = config.model.unigen
     path = mcfg.get("pretrained_model_path", "")
     if path:
         resolved = os.path.join(path, "unwrapped_model") \
             if os.path.isdir(os.path.join(path, "unwrapped_model")) else path
         if os.path.isdir(resolved):
-            from .utils.hf_import import import_unigen
             logger.info(f"loading UniGen weights from {resolved}")
+            if _is_native_checkpoint(resolved):
+                return _load_native(resolved, lambda k: unigen.init(k, cfg), 0), cfg
+            from .utils.hf_import import import_unigen
             return import_unigen(resolved, cfg), cfg
         logger.warning(f"UniGen checkpoint missing at {path}; random init")
     params = jax.jit(lambda k: unigen.init(k, cfg))(jax.random.key(0))
@@ -183,8 +216,10 @@ def build_vq(config: Config, dtype=None) -> Tuple[Any, magvit.MagvitConfig]:
     path = real_checkpoint(config.model.vq_model.get("vq_model_name", "magvitv2"),
                            config.model.get("ckpt_base_path", ""))
     if os.path.isdir(path):
-        from .utils.hf_import import import_magvit
         logger.info(f"loading MAGViTv2 weights from {path}")
+        if _is_native_checkpoint(path):
+            return _load_native(path, lambda k: magvit.init(k, cfg), 1), cfg
+        from .utils.hf_import import import_magvit
         return import_magvit(path, cfg), cfg
     logger.warning(f"MAGViTv2 checkpoint missing at {path}; random init")
     return jax.jit(lambda k: magvit.init(k, cfg))(jax.random.key(1)), cfg
@@ -201,8 +236,10 @@ def build_vision_tower(config: Config, dtype=None):
         cfg = dataclasses.replace(cfg, dtype=dtype)
     path = real_checkpoint(name, config.model.get("ckpt_base_path", ""))
     if os.path.isdir(path):
-        from .utils.hf_import import load_state_dict
         logger.info(f"loading vision tower weights from {path}")
+        if _is_native_checkpoint(path):
+            return _load_native(path, lambda k: mod.init(k, cfg), 2), cfg
+        from .utils.hf_import import load_state_dict
         return mod.convert_hf_state_dict(load_state_dict(path), cfg), cfg
     logger.warning(f"vision tower checkpoint missing at {path}; random init")
     return jax.jit(lambda k: mod.init(k, cfg))(jax.random.key(2)), cfg
