@@ -190,6 +190,10 @@ def main(batch_size: int = 6, timesteps: int = 50, warmup: int = 1, iters: int =
         "unit": "images/sec/chip",
         "vs_baseline": round(img_per_sec_per_chip / 16.0, 4),
         "synced": synced,
+        # resolved config in the result line itself, so recorded numbers are
+        # self-describing (defaults changed in round 2: int8/batch-6)
+        "config": {"quant": quant or "bf16", "batch": batch_size,
+                   "timesteps": timesteps},
     }))
 
 
@@ -249,7 +253,10 @@ def bench_vqa(batch_size: int = 8, prompt_len: int = 600, max_new_tokens: int = 
         metric += f" [{quant}]"
     print(json.dumps({"metric": metric,
                       "value": round(tps, 2), "unit": "tokens/sec/chip",
-                      "vs_baseline": None, "synced": True}))
+                      "vs_baseline": None, "synced": True,
+                      "config": {"quant": quant or "bf16", "batch": batch_size,
+                                 "prompt_len": prompt_len,
+                                 "max_new_tokens": max_new_tokens}}))
 
 
 def bench_tokenizer(batch_size: int = 16):

@@ -285,6 +285,27 @@ def test_lmms_adapter_generate_until(pipe):
     assert wide.size == (60, 30)
 
 
+def test_lmms_adapter_batched_matches_batch1(pipe):
+    """The batched generate_until (device batches grouped by gen_kwargs) must
+    reproduce the batch-1 outputs request-for-request on a fixed greedy set,
+    including order restoration across interleaved param groups and per-request
+    'until' trimming (VERDICT r2 item 6: batching must not change outputs)."""
+    from PIL import Image
+    from unigen_tpu.evaluation.lmms_adapter import UniGenLmmsAdapter
+    imgs = [Image.new("RGB", (40, 30), (200, 10 * i, 10)) for i in range(5)]
+    # two gen_kwargs groups interleaved, one with a stop string
+    reqs = [
+        ("what is shown?", {"max_new_tokens": 3}, imgs[0]),
+        ("describe", {"max_new_tokens": 4}, imgs[1]),
+        ("what color?", {"max_new_tokens": 3}, imgs[2]),
+        ("count the objects", {"max_new_tokens": 4, "until": ["\n"]}, imgs[3]),
+        ("is it red?", {"max_new_tokens": 3}, imgs[4]),
+    ]
+    a1 = UniGenLmmsAdapter(pipe, use_system_prompt=True, batch_size=1)
+    ab = UniGenLmmsAdapter(pipe, use_system_prompt=True, batch_size=4)
+    assert ab.generate_until(reqs) == a1.generate_until(reqs)
+
+
 def test_vqa_splice_preserves_question_tokens(pipe):
     """Regression: mmu_conv drops input_ids[:, 1:]; the pipeline's question
     template must therefore carry the '<|im_start|>user\\n' prefix so no

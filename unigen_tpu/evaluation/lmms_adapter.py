@@ -50,6 +50,7 @@ class UniGenLmmsAdapter:
     max_new_tokens: int = 512
     use_system_prompt: bool = True
     seed: int = 0
+    batch_size: int = 8                    # device batch for generate_until
 
     def _prepare_image(self, images) -> np.ndarray:
         if isinstance(images, (list, tuple)):
@@ -68,34 +69,59 @@ class UniGenLmmsAdapter:
             return naflex_resize(images, vcfg.patch_size, vcfg.num_patches)
         return siglip_preprocess(images, vcfg.image_size)
 
+    def _gen_key(self, gen_kwargs: Dict) -> tuple:
+        """Device-program bucket for one request: everything that forces a
+        distinct compiled decode (stop strings are host-side and excluded)."""
+        return (int(gen_kwargs.get("max_new_tokens", self.max_new_tokens)),
+                float(gen_kwargs.get("temperature", 0.0) or 0.0),
+                gen_kwargs.get("top_k"))
+
     def generate_until(self, requests: List[Tuple[str, Dict, Any]]) -> List[str]:
         """requests: [(context, gen_kwargs, images)] -> generated strings.
 
         gen_kwargs honors 'max_new_tokens', 'temperature', 'top_k' and 'until'
         stop strings (reference generate_until kwargs handling, :330-430).
+
+        Requests are grouped by their decode parameters and run in device
+        batches of ``batch_size`` through the batched prefix-LM decode —
+        the reference adapter loops at batch 1 (:259-430), which strands most
+        of the chip; batching recovers the serving-table throughput
+        (BENCH.md VQA decode section) with unchanged per-request outputs.
+        Output order always matches request order.
         """
-        out: List[str] = []
+        out: List[Optional[str]] = [None] * len(requests)
         key = jax.random.key(self.seed)
         sys_ids = None
         if self.use_system_prompt:
             sys_ids = np.asarray(
                 [self.pipeline.prompting._tokenize(QWEN_SYSTEM_PROMPT)[0]])
-        for context, gen_kwargs, images in requests:
-            key, sub = jax.random.split(key)
-            pixels = self._prepare_image(images)[None]
-            temperature = float(gen_kwargs.get("temperature", 0.0) or 0.0)
-            toks = self.pipeline.understand(
-                pixels, [context], sub,
-                system_prompt_ids=sys_ids,
-                max_new_tokens=int(gen_kwargs.get("max_new_tokens",
-                                                  self.max_new_tokens)),
-                temperature=temperature,
-                top_k=gen_kwargs.get("top_k"))
-            text = self.pipeline.decode_text(toks)[0]
-            for stop in gen_kwargs.get("until", []) or []:
-                if stop and stop in text:
-                    text = text.split(stop)[0]
-            out.append(text)
+
+        # group by decode params AND preprocessed pixel shape (NaFlex resize
+        # is aspect-dependent, so mixed aspects land in separate sub-batches)
+        prepared = [self._prepare_image(r[2]) for r in requests]
+        groups: Dict[tuple, List[int]] = {}
+        for i, (_, gen_kwargs, _) in enumerate(requests):
+            groups.setdefault(self._gen_key(gen_kwargs) + (prepared[i].shape,),
+                              []).append(i)
+
+        for (max_new, temperature, top_k, _shape), idxs in groups.items():
+            for start in range(0, len(idxs), self.batch_size):
+                chunk = idxs[start:start + self.batch_size]
+                key, sub = jax.random.split(key)
+                pixels = np.stack([prepared[i] for i in chunk])
+                contexts = [requests[i][0] for i in chunk]
+                toks = self.pipeline.understand(
+                    pixels, contexts, sub,
+                    system_prompt_ids=sys_ids,
+                    max_new_tokens=max_new,
+                    temperature=temperature,
+                    top_k=top_k)
+                texts = self.pipeline.decode_text(toks)
+                for i, text in zip(chunk, texts):
+                    for stop in requests[i][1].get("until", []) or []:
+                        if stop and stop in text:
+                            text = text.split(stop)[0]
+                    out[i] = text
         return out
 
     def loglikelihood(self, requests) -> List[Tuple[float, bool]]:

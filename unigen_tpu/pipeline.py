@@ -97,31 +97,42 @@ def _mmu_vit_decode(params, cfg, part1, part2, img_embeds, prompt_len, key, *,
 
 
 @partial(jax.jit, static_argnames=("cfg", "sys_len"))
-def _mmu_vit_score(params, cfg, part1, part2, img_embeds, cont, *, sys_len):
-    """Log-likelihood of ``cont`` tokens after the mmu_vit prompt splice.
+def _mmu_vit_score(params, cfg, part1, part2c, img_embeds, cont_mask, valid_len,
+                   *, sys_len):
+    """Log-likelihood of the continuation tokens inside ``part2c``.
+
+    ``part2c`` [B, L2] = the mmu_conv part2 ids with the continuation ids
+    appended, right-padded to a bucketed length; ``cont_mask`` [B, L2] marks
+    the continuation positions; ``valid_len`` [B] is the real (unpadded)
+    length of each row of ``part2c``. Pad slots are excluded from attention
+    (same keep-trimming as ``_mmu_vit_decode``) and from the scored sum, so
+    bucketing lengths to a few static shapes never changes the result.
 
     Returns (sum log p(cont | prompt) [B], greedy-match flag [B]) — the
     lmms-eval ``loglikelihood`` contract. One forward, no sampling."""
     from .models import qwen2
     e1 = unigen.embed_tokens(params, part1)
-    e2 = unigen.embed_tokens(params, part2)
-    ec = unigen.embed_tokens(params, cont)
-    embeds = jnp.concatenate([e1, img_embeds.astype(e1.dtype), e2, ec], axis=1)
+    e2 = unigen.embed_tokens(params, part2c)
+    embeds = jnp.concatenate([e1, img_embeds.astype(e1.dtype), e2], axis=1)
     b, l, _ = embeds.shape
-    nc = cont.shape[1]
+    l2 = part2c.shape[1]
+    off = l - l2                                    # start of part2c in the splice
     attn = M.create_attention_mask_for_mmu_vit(
         b, l, system_prompt_len=sys_len, num_tokens=img_embeds.shape[1],
         prefix_length=part1.shape[1])
+    keep = jnp.arange(l)[None] < (off + valid_len)[:, None]
+    attn = attn & keep[:, None, None, :] & keep[:, None, :, None]
     hidden, _ = qwen2.forward(params["llm"], cfg.llm, inputs_embeds=embeds,
                               mask=attn)
-    # hidden at position p predicts token p+1: continuation tokens are
-    # predicted from positions [l-nc-1, l-1)
+    # hidden at position p predicts token p+1: part2c[:, j] is predicted from
+    # splice position off+j-1
     logits = qwen2.logits(params["llm"], cfg.llm,
-                          hidden[:, l - nc - 1:l - 1]).astype(jnp.float32)
+                          hidden[:, off - 1:l - 1]).astype(jnp.float32)
     logp = jax.nn.log_softmax(logits, axis=-1)
-    tok_lp = jnp.take_along_axis(logp, cont[..., None], axis=-1)[..., 0]
-    greedy = jnp.argmax(logits, axis=-1) == cont
-    return tok_lp.sum(axis=-1), greedy.all(axis=-1)
+    tok_lp = jnp.take_along_axis(logp, part2c[..., None], axis=-1)[..., 0]
+    greedy = jnp.argmax(logits, axis=-1) == part2c
+    return (jnp.where(cont_mask, tok_lp, 0.0).sum(axis=-1),
+            jnp.where(cont_mask, greedy, True).all(axis=-1))
 
 
 @partial(jax.jit, static_argnames=("vision_cfg",))
@@ -253,21 +264,33 @@ class UniGenPipeline:
         continuation_ids: np.ndarray,
         *,
         system_prompt_ids: Optional[np.ndarray] = None,
+        length_bucket: int = 64,
     ) -> tuple:
         """Sum log-likelihood (and greedy-match flag) of a tokenized
         continuation after the VQA prompt — the lmms-eval ``loglikelihood``
         contract (one request; the adapter loops). One scored forward, no
-        sampling; retraces per (question-length, continuation-length) shape.
+        sampling. The question+continuation tail is right-padded to a multiple
+        of ``length_bucket`` so a varied-length task compiles one program per
+        bucket instead of one per (question-length, continuation-length) pair;
+        pad slots are masked out of attention and the scored sum.
         """
         img_embeds = self._image_embeds(pixels)
         b, p, _ = img_embeds.shape
         q_arr = self._vqa_question_ids(question)[None]
         part1, part2, _, _ = self.prompting((np.zeros((b, p, 1)), q_arr, None,
                                              system_prompt_ids), "mmu_conv")
-        cont = jnp.asarray(np.asarray(continuation_ids, np.int64)[None])
+        cont = np.asarray(continuation_ids, np.int64).reshape(-1)
+        l2_real = part2.shape[1] + cont.shape[0]
+        l2 = -(-l2_real // length_bucket) * length_bucket
+        part2c = np.full((b, l2), self.prompting.pad_id, np.int64)
+        cont_mask = np.zeros((b, l2), bool)
+        part2c[:, :part2.shape[1]] = part2
+        part2c[:, part2.shape[1]:l2_real] = cont
+        cont_mask[:, part2.shape[1]:l2_real] = True
         lp, greedy = _mmu_vit_score(
-            self.params, self.cfg, jnp.asarray(part1), jnp.asarray(part2),
-            img_embeds, cont,
+            self.params, self.cfg, jnp.asarray(part1), jnp.asarray(part2c),
+            img_embeds, jnp.asarray(cont_mask),
+            jnp.full((b,), l2_real, jnp.int32),
             sys_len=0 if system_prompt_ids is None else system_prompt_ids.shape[1])
         return float(lp[0]), bool(greedy[0])
 
