@@ -21,8 +21,9 @@
 set -euo pipefail
 source "$(dirname "$0")/bash_utils.sh"
 REPO_ROOT="$(cd "$(dirname "$0")/.." && pwd)"
-GENEVAL_ROOT="${REPO_ROOT}/third_party/geneval"
-DPG_ROOT="${REPO_ROOT}/third_party/dpg_bench"
+# overridable so judges installed elsewhere (or test fakes) can be pointed at
+GENEVAL_ROOT="${GENEVAL_ROOT:-${REPO_ROOT}/third_party/geneval}"
+DPG_ROOT="${DPG_ROOT:-${REPO_ROOT}/third_party/dpg_bench}"
 
 SUITE="${1:?suite: geneval|dpgbench|cot-gen|lmms}"
 CONFIG="${2:?config.yaml}"

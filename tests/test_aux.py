@@ -231,6 +231,110 @@ def test_run_evaluation_cot_carveout_and_skips(tmp_path):
     assert r.stderr.count("SKIP") >= 2
 
 
+def test_run_evaluation_dpgbench_fake_judge(tmp_path):
+    """Full generate→score→report control flow of the dpgbench suite with a
+    fake mPLUG judge (VERDICT r2 item 7): a stand-in compute_dpg_bench.py
+    receives the reference's exact scorer arguments (run_evaluation.sh:168-176
+    analog: image root, csv, res path, resolution 256, pic-num 4, mplug) and
+    its score file lands where the suite promises."""
+    import subprocess
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = tmp_path / "evalout"
+    (out / "dpg_bench_step50_scale6").mkdir(parents=True)
+    dpg = tmp_path / "fake_dpg"
+    dpg.mkdir()
+    (dpg / "dpg_bench.csv").write_text("item_id,text\n0,a cup\n")
+    (dpg / "compute_dpg_bench.py").write_text(
+        "import argparse, json, sys\n"
+        "p = argparse.ArgumentParser()\n"
+        "for a in ('--image-root-path', '--csv', '--res-path', '--vqa-model'):\n"
+        "    p.add_argument(a)\n"
+        "p.add_argument('--resolution', type=int)\n"
+        "p.add_argument('--pic-num', type=int)\n"
+        "ns = p.parse_args()\n"
+        "assert ns.resolution == 256 and ns.pic_num == 4 and ns.vqa_model == 'mplug'\n"
+        "open(ns.res_path, 'w').write(json.dumps({'dpg_score': 0.83}))\n")
+    r = subprocess.run(
+        ["bash", os.path.join(repo, "scripts", "run_evaluation.sh"),
+         "dpgbench", "cfg.yaml", "prompts.txt", str(out)],
+        env=dict(os.environ, SKIP_GENERATION="1", DPG_ROOT=str(dpg)),
+        capture_output=True, text=True, timeout=300)
+    assert r.returncode == 0, r.stderr
+    res = out / "dpg_bench_score.txt"
+    assert res.exists() and "0.83" in res.read_text()
+    assert "SKIP" not in r.stderr
+
+
+def test_run_evaluation_geneval_fake_judge(tmp_path):
+    """geneval suite with fake detector + summarizer: evaluate_images.py writes
+    results.jsonl, summary_scores.py output is tee'd to the score log
+    (reference run_evaluation.sh:136-142 flow, judged end-to-end)."""
+    import subprocess
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = tmp_path / "evalout"
+    (out / "t2i_samples_step50_scale6").mkdir(parents=True)
+    ge = tmp_path / "fake_geneval"
+    (ge / "evaluation").mkdir(parents=True)
+    (ge / "evaluation" / "evaluate_images.py").write_text(
+        "import argparse, json\n"
+        "p = argparse.ArgumentParser()\n"
+        "p.add_argument('dir'); p.add_argument('--outfile'); p.add_argument('--model-path')\n"
+        "ns = p.parse_args()\n"
+        "open(ns.outfile, 'w').write(json.dumps({'correct': True}) + '\\n')\n")
+    (ge / "evaluation" / "summary_scores.py").write_text(
+        "import sys\nprint('Overall score: 0.71 from', sys.argv[1])\n")
+    fake_mods = tmp_path / "fake_mods"
+    (fake_mods / "mmdet").mkdir(parents=True)
+    (fake_mods / "mmdet" / "__init__.py").write_text("")
+    env = dict(os.environ, SKIP_GENERATION="1", GENEVAL_ROOT=str(ge),
+               PYTHONPATH=str(fake_mods) + os.pathsep + os.environ.get("PYTHONPATH", ""))
+    r = subprocess.run(
+        ["bash", os.path.join(repo, "scripts", "run_evaluation.sh"),
+         "geneval", "cfg.yaml", "meta.jsonl", str(out)],
+        env=env, capture_output=True, text=True, timeout=300)
+    assert r.returncode == 0, r.stderr
+    assert (out / "t2i_samples_step50_scale6" / "results.jsonl").exists()
+    log = out / "geneval_score.log"
+    assert log.exists() and "Overall score: 0.71" in log.read_text()
+    assert "SKIP" not in r.stderr
+
+
+def test_run_evaluation_lmms_fake_module(tmp_path):
+    """lmms suite with a fake lmms_eval module on PYTHONPATH: the harness must
+    invoke `python -m lmms_eval` with our registered model, the task list, and
+    the comma-joined model_args, and the run's output must land under
+    OUT/lmms_eval (reference run_evaluation.sh:95-109 flow)."""
+    import subprocess
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = tmp_path / "evalout"
+    fake_mods = tmp_path / "fake_mods"
+    pkg = fake_mods / "lmms_eval"
+    pkg.mkdir(parents=True)
+    (pkg / "__init__.py").write_text("")
+    (pkg / "__main__.py").write_text(
+        "import argparse, json, os\n"
+        "p = argparse.ArgumentParser()\n"
+        "for a in ('--model', '--model_args', '--tasks', '--batch_size', '--output_path'):\n"
+        "    p.add_argument(a)\n"
+        "p.add_argument('--log_samples', action='store_true')\n"
+        "ns = p.parse_args()\n"
+        "assert ns.model == 'unigen_tpu' and ns.log_samples\n"
+        "assert ns.model_args == 'config=cfg.yaml,ckpt=path'\n"
+        "assert ns.tasks == 'pope,mme'\n"
+        "os.makedirs(ns.output_path, exist_ok=True)\n"
+        "open(os.path.join(ns.output_path, 'results.json'), 'w').write(\n"
+        "    json.dumps({'results': {'pope': {'acc': 0.5}}}))\n")
+    env = dict(os.environ,
+               PYTHONPATH=str(fake_mods) + os.pathsep + os.environ.get("PYTHONPATH", ""))
+    r = subprocess.run(
+        ["bash", os.path.join(repo, "scripts", "run_evaluation.sh"),
+         "lmms", "cfg.yaml", "pope,mme", str(out), "ckpt=path"],
+        env=env, capture_output=True, text=True, timeout=300)
+    assert r.returncode == 0, r.stderr + r.stdout
+    res = out / "lmms_eval" / "results.json"
+    assert res.exists() and "pope" in res.read_text()
+
+
 def test_setup_eval_degrades_offline():
     import subprocess
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))

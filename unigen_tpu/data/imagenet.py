@@ -2,8 +2,10 @@
 
 Reference: data/imagenet_dataset.py:1024-1083 — an ImageFolder whose caption is a
 random synonym of the synset's text label (the wnid -> "syn1, syn2" mapping), with
-an optional prefix prompt. The synset mapping is loaded from a file (one
-``wnid: syn1, syn2`` line per class) rather than vendoring the 1000-entry dict.
+an optional prefix prompt. The standard ILSVRC-2012 mapping ships as a vendored
+data asset (assets/imagenet2012_synsets.txt, the same public table the reference
+inlines as a 1000-entry Python dict at :19-1022) and is the default; a custom
+mapping file can be supplied for non-standard label sets.
 """
 from __future__ import annotations
 
@@ -20,12 +22,20 @@ IMG_EXTENSIONS = (".jpg", ".jpeg", ".png", ".ppm", ".bmp", ".pgm", ".tif",
                   ".tiff", ".webp")
 
 
-def load_synset_mapping(path: str) -> Dict[str, str]:
-    """'n01440764: tench, Tinca tinca' lines -> {wnid: 'tench, Tinca tinca'}."""
+DEFAULT_SYNSET_FILE = os.path.join(os.path.dirname(__file__), "assets",
+                                   "imagenet2012_synsets.txt")
+
+
+def load_synset_mapping(path: Optional[str] = None) -> Dict[str, str]:
+    """'n01440764: tench, Tinca tinca' lines -> {wnid: 'tench, Tinca tinca'}.
+
+    With no ``path``, loads the vendored ILSVRC-2012 table (1000 classes), so
+    the dataset is constructible out of the box like the reference's inline
+    dict (imagenet_dataset.py:19-1022)."""
     mapping = {}
-    with open(path) as f:
+    with open(path or DEFAULT_SYNSET_FILE) as f:
         for line in f:
-            if ":" in line:
+            if ":" in line and not line.startswith("#"):
                 wnid, _, names = line.partition(":")
                 mapping[wnid.strip()] = names.strip()
     return mapping
@@ -34,13 +44,15 @@ def load_synset_mapping(path: str) -> Dict[str, str]:
 @dataclass
 class ImageNetDataset:
     root: str                                  # ImageFolder layout: root/<wnid>/xxx.jpg
-    synset_mapping: Dict[str, str]
     per_device_batch_size: int
+    synset_mapping: Optional[Dict[str, str]] = None  # default: vendored ILSVRC-2012
     image_size: int = 256
     prefix_prompt: Optional[str] = None
     seed: int = 0
 
     def __post_init__(self):
+        if self.synset_mapping is None:
+            self.synset_mapping = load_synset_mapping()
         self.samples: List[tuple] = []
         for wnid in sorted(os.listdir(self.root)):
             d = os.path.join(self.root, wnid)
