@@ -23,7 +23,8 @@ from ..pipeline import UniGenPipeline, pixels_to_uint8
 
 def save_png(arr: np.ndarray, path: str) -> None:
     from PIL import Image
-    Image.fromarray(arr).save(path)
+    # device fetches can be F-contiguous on TPU backends; PIL needs C order
+    Image.fromarray(np.ascontiguousarray(arr)).save(path)
 
 
 def shard_for_process(items: Sequence, process_index: Optional[int] = None,

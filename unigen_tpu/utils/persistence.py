@@ -29,7 +29,12 @@ def _flatten(params: PyTree) -> Dict[str, np.ndarray]:
     flat = {}
     for path, leaf in jax.tree_util.tree_leaves_with_path(params):
         key = "/".join(str(getattr(p, "key", getattr(p, "idx", p))) for p in path)
-        flat[key] = np.asarray(leaf)
+        # ascontiguousarray is load-bearing: on TPU backends np.asarray can
+        # return a zero-copy F-contiguous view of the device layout, and
+        # safetensors serializes the raw buffer assuming C order — without the
+        # copy, checkpoints written on hardware come back silently TRANSPOSED
+        # (caught by a hardware drive of save_pretrained on the v5e).
+        flat[key] = np.ascontiguousarray(np.asarray(leaf))
     return flat
 
 
