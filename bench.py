@@ -123,12 +123,27 @@ def main(batch_size: int = 6, timesteps: int = 50, warmup: int = 1, iters: int =
         # per-image flops/bytes across batch sizes localize scaling anomalies
         try:
             with _Watchdog(1800):
-                ca = sampler.lower(params, ids, uncond,
-                                   jax.random.key(2)).compile().cost_analysis()
+                compiled = sampler.lower(params, ids, uncond,
+                                         jax.random.key(2)).compile()
+                ca = compiled.cost_analysis()
             print(f"[bench] cost: flops {ca.get('flops', 0) / 1e12:.2f}T "
                   f"bytes {ca.get('bytes accessed', 0) / 1e9:.2f}GB "
                   f"transc {ca.get('transcendentals', 0) / 1e9:.2f}G "
                   f"(batch {batch_size})", file=sys.stderr)
+            try:
+                ma = compiled.memory_analysis()
+                print(f"[bench] memory: argsz {ma.argument_size_in_bytes / 1e9:.2f}GB "
+                      f"out {ma.output_size_in_bytes / 1e9:.2f}GB "
+                      f"temp {ma.temp_size_in_bytes / 1e9:.3f}GB "
+                      f"alias {ma.alias_size_in_bytes / 1e9:.2f}GB "
+                      f"(batch {batch_size})", file=sys.stderr)
+            except Exception as e:  # relay backends may not expose it
+                print(f"[bench] memory analysis unavailable: {e}", file=sys.stderr)
+            if os.environ.get("BENCH_COST_ONLY"):
+                # static-analysis mode: client-side compile only, never touches
+                # the chip (the relay charges ~400s server-side load per fresh
+                # process; scaling studies don't need execution)
+                return
         except TimeoutError:
             # keep the one-JSON-line contract: the timed phases below will
             # report not-synced if the relay is truly wedged
