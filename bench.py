@@ -145,6 +145,12 @@ def main(batch_size: int = 6, timesteps: int = 50, warmup: int = 1, iters: int =
                 # process; scaling studies don't need execution)
                 return
         except TimeoutError:
+            if os.environ.get("BENCH_COST_ONLY"):
+                # honor the mode's never-touch-the-chip contract even when the
+                # client-side lower/compile itself times out
+                print("[bench] cost analysis timed out (cost-only mode: "
+                      "exiting without chip phases)", file=sys.stderr)
+                return
             # keep the one-JSON-line contract: the timed phases below will
             # report not-synced if the relay is truly wedged
             print("[bench] cost analysis timed out; continuing", file=sys.stderr)
@@ -204,6 +210,12 @@ def main(batch_size: int = 6, timesteps: int = 50, warmup: int = 1, iters: int =
         "value": round(img_per_sec_per_chip, 4),
         "unit": "images/sec/chip",
         "vs_baseline": round(img_per_sec_per_chip / 16.0, 4),
+        # The 16 img/s north star is specified for a v5e-8 POD (BASELINE.md:36);
+        # the reference runs this protocol as 8 independent GPU processes
+        # (run_evaluation.sh:78), so the per-chip share of the target is 16/8=2.
+        # vs_baseline above conservatively divides the PER-CHIP rate by the
+        # whole-pod target; this field is the apples-to-apples per-chip ratio.
+        "vs_baseline_per_chip_share": round(img_per_sec_per_chip / 2.0, 4),
         "synced": synced,
         # resolved config in the result line itself, so recorded numbers are
         # self-describing (defaults changed in round 2: int8/batch-6)

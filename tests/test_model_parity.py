@@ -129,16 +129,36 @@ def _build_pair(ref_unigen, torch, tmp_path_factory, gen_proj_depth=0, seed=0):
     downstream assertion runs unchanged."""
     from unigen_tpu.utils import hf_import
     if PARITY_CKPT:
+        if not PARITY_LLM:
+            pytest.fail(
+                "UNIGEN_PARITY_CKPT is set but UNIGEN_PARITY_LLM is not: the "
+                "real-weights swap needs BOTH the unwrapped checkpoint dir and "
+                "the HF backbone dir (for config.json) — see docs/WEIGHTS.md §3")
         sd = hf_import.load_state_dict(PARITY_CKPT)
+        # SFT/DPO checkpoints carry the vision tower as a submodule
+        # (reference init_vision_tower); its weights are covered by the SigLIP
+        # parity tests, not the unified-model surface — drop them so the
+        # reconstructed towerless reference loads strict
+        sd = {k: v for k, v in sd.items() if not k.startswith("vision_tower.")}
         with open(os.path.join(PARITY_LLM, "config.json")) as f:
             hf_cfg = json.load(f)
         gen_depth = sum(1 for k in sd if k.startswith("gen_projector.")
                         and k.endswith(".weight"))
+        w_und = any(k.startswith("mm_projector.") for k in sd)
+        # projector geometry comes from the checkpoint itself (SFT trains with
+        # mm_input_dim = tower hidden size, e.g. 1152 for SigLIP-so400m, and a
+        # config-chosen depth — the constructor defaults 1024/2 would fail the
+        # strict load)
+        mm_in = sd["mm_projector.0.weight"].shape[1] if w_und else 1024
+        und_depth = sum(1 for k in sd if k.startswith("mm_projector.")
+                        and k.endswith(".weight")
+                        and np.asarray(sd[k]).ndim == 2) if w_und else 0
         ref = ref_unigen.UniGen(
-            w_und_encoder=any(k.startswith("mm_projector.") for k in sd),
+            w_und_encoder=w_und,
             vocab_size=VOCAB, llm_vocab_size=hf_cfg["vocab_size"],
             llm_model_path=PARITY_LLM, codebook_size=CODEBOOK,
             num_vq_tokens=N_IMG, load_from_pretrained=True,
+            mm_input_dim=mm_in, und_proj_depth=und_depth,
             gen_proj_depth=gen_depth)
         ref.load_state_dict({k: torch.tensor(np.asarray(v)) for k, v in sd.items()})
         ref = ref.eval().float()
@@ -153,13 +173,17 @@ def _build_pair(ref_unigen, torch, tmp_path_factory, gen_proj_depth=0, seed=0):
             head_dim=hf_cfg.get("head_dim",
                                 hf_cfg["hidden_size"] // hf_cfg["num_attention_heads"]),
             rope_theta=hf_cfg.get("rope_theta", 1e6),
-            tie_word_embeddings=hf_cfg.get("tie_word_embeddings", True),
+            # HF Qwen2Config defaults tie_word_embeddings to False; mirror it
+            # so an untied checkpoint whose config.json omits the key loads
+            # its lm_head instead of silently reusing the embedding matrix
+            tie_word_embeddings=hf_cfg.get("tie_word_embeddings", False),
             dtype=jnp.float32)
         cfg = U.UniGenConfig(
             llm=llm, vocab_size=VOCAB, llm_vocab_size=hf_cfg["vocab_size"],
             text_vocab_len=TEXT_VOCAB, codebook_size=CODEBOOK,
             num_vq_tokens=N_IMG,
-            w_und_encoder=any(k.startswith("mm_projector.") for k in sd),
+            w_und_encoder=w_und, mm_input_dim=mm_in,
+            und_proj_depth=und_depth or 2,
             gen_proj_depth=gen_depth)
         return ref, cfg, hf_import.import_unigen(sd, cfg)
     torch.manual_seed(seed)

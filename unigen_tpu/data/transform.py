@@ -52,14 +52,12 @@ def pad_image(image, target_resolution: Tuple[int, int]) -> np.ndarray:
     return canvas
 
 
-def naflex_resize(image, patch_size: int = 16, max_num_patches: int = 256) -> np.ndarray:
-    """Aspect-preserving resize to ≤ max_num_patches patches with
-    patch-multiple dims + rescale + normalize(0.5, 0.5) — the image-space half
-    of ``naflex_preprocess``, for callers that patchify later (the pipeline's
-    NaFlex request path)."""
-    from PIL import Image
-    img = _to_pil(image).convert("RGB")
-    w, h = img.size
+def naflex_target_dims(w: int, h: int, patch_size: int = 16,
+                       max_num_patches: int = 256) -> tuple:
+    """(target_h, target_w) of the NaFlex aspect-preserving resize: the largest
+    patch-multiple dims within the patch budget. Pure arithmetic — lets callers
+    (e.g. the lmms adapter's shape-bucketing) predict the prepared pixel shape
+    from image header dims without decoding/resizing the pixels."""
     p = patch_size
     scale = (max_num_patches * p * p / (w * h)) ** 0.5
     th = max(p, int(round(h * scale / p)) * p)
@@ -72,6 +70,18 @@ def naflex_resize(image, patch_size: int = 16, max_num_patches: int = 256) -> np
             tw -= p
         else:
             break
+    return th, tw
+
+
+def naflex_resize(image, patch_size: int = 16, max_num_patches: int = 256) -> np.ndarray:
+    """Aspect-preserving resize to ≤ max_num_patches patches with
+    patch-multiple dims + rescale + normalize(0.5, 0.5) — the image-space half
+    of ``naflex_preprocess``, for callers that patchify later (the pipeline's
+    NaFlex request path)."""
+    from PIL import Image
+    img = _to_pil(image).convert("RGB")
+    w, h = img.size
+    th, tw = naflex_target_dims(w, h, patch_size, max_num_patches)
     img = img.resize((tw, th), Image.BICUBIC)
     return (np.asarray(img, np.float32) / 255.0 - 0.5) / 0.5
 

@@ -69,6 +69,35 @@ class UniGenLmmsAdapter:
             return naflex_resize(images, vcfg.patch_size, vcfg.num_patches)
         return siglip_preprocess(images, vcfg.image_size)
 
+    def _raw_dims(self, images) -> Tuple[int, int]:
+        """(width, height) the request presents to the preprocessor — from PIL
+        headers / array shapes only, no pixel decode or resize."""
+        from PIL import Image
+        if isinstance(images, (list, tuple)):
+            if len(images) == 0:
+                raise ValueError("request without images")
+            if len(images) > 1 and self.multi_image_mode == "concat":
+                dims = [self._raw_dims(im) for im in images]
+                return sum(w for w, _ in dims), max(h for _, h in dims)
+            images = images[0]
+        if isinstance(images, Image.Image):
+            return images.size
+        arr = np.asarray(images)
+        return arr.shape[1], arr.shape[0]
+
+    def _prepared_shape(self, images) -> tuple:
+        """Predicted self._prepare_image(images).shape, computed without
+        materializing the float32 pixels (keeps generate_until's grouping pass
+        O(#requests) in header reads, not O(#requests) in full-size tensors)."""
+        from ..models import siglip2
+        vcfg = self.pipeline.vision_cfg
+        if isinstance(vcfg, siglip2.Siglip2Config):
+            from ..data.transform import naflex_target_dims
+            w, h = self._raw_dims(images)
+            th, tw = naflex_target_dims(w, h, vcfg.patch_size, vcfg.num_patches)
+            return (th, tw, 3)
+        return (vcfg.image_size, vcfg.image_size, 3)
+
     def _gen_key(self, gen_kwargs: Dict) -> tuple:
         """Device-program bucket for one request: everything that forces a
         distinct compiled decode (stop strings are host-side and excluded)."""
@@ -96,27 +125,38 @@ class UniGenLmmsAdapter:
             sys_ids = np.asarray(
                 [self.pipeline.prompting._tokenize(QWEN_SYSTEM_PROMPT)[0]])
 
-        # group by decode params AND preprocessed pixel shape (NaFlex resize
-        # is aspect-dependent, so mixed aspects land in separate sub-batches)
-        prepared = [self._prepare_image(r[2]) for r in requests]
+        # group by decode params AND predicted pixel shape (NaFlex resize is
+        # aspect-dependent, so mixed aspects land in separate sub-batches);
+        # the shape is derived from image headers so the grouping pass never
+        # holds more than one chunk of float32 pixels in host memory
         groups: Dict[tuple, List[int]] = {}
-        for i, (_, gen_kwargs, _) in enumerate(requests):
-            groups.setdefault(self._gen_key(gen_kwargs) + (prepared[i].shape,),
-                              []).append(i)
+        for i, (_, gen_kwargs, images) in enumerate(requests):
+            groups.setdefault(self._gen_key(gen_kwargs)
+                              + (self._prepared_shape(images),), []).append(i)
 
         for (max_new, temperature, top_k, _shape), idxs in groups.items():
             for start in range(0, len(idxs), self.batch_size):
                 chunk = idxs[start:start + self.batch_size]
                 key, sub = jax.random.split(key)
-                pixels = np.stack([prepared[i] for i in chunk])
+                pixels = np.stack([self._prepare_image(requests[i][2])
+                                   for i in chunk])
                 contexts = [requests[i][0] for i in chunk]
+                # pad the final partial chunk up to batch_size by repeating the
+                # last request: every chunk reuses the one compiled batch shape
+                # instead of paying a fresh multi-minute decode compile per
+                # distinct remainder size (padded outputs are discarded)
+                if len(chunk) < self.batch_size:
+                    n_pad = self.batch_size - len(chunk)
+                    pixels = np.concatenate(
+                        [pixels, np.repeat(pixels[-1:], n_pad, axis=0)])
+                    contexts = contexts + [contexts[-1]] * n_pad
                 toks = self.pipeline.understand(
                     pixels, contexts, sub,
                     system_prompt_ids=sys_ids,
                     max_new_tokens=max_new,
                     temperature=temperature,
                     top_k=top_k)
-                texts = self.pipeline.decode_text(toks)
+                texts = self.pipeline.decode_text(toks)[:len(chunk)]
                 for i, text in zip(chunk, texts):
                     for stop in requests[i][1].get("until", []) or []:
                         if stop and stop in text:

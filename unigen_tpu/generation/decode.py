@@ -37,10 +37,7 @@ def _sample_step(key: Array, logits: Array, temperature: float, top_k: Optional[
             kth = jax.lax.top_k(logits, min(top_k, logits.shape[-1]))[0][..., -1:]
             logits = jnp.where(logits < kth, -jnp.inf, logits)
         probs = jax.nn.softmax(logits, axis=-1)
-        if inj is not None:
-            g = -S.safe_log(-S.safe_log(inj.astype(probs.dtype)))
-            return jnp.argmax(S.safe_log(probs) + g, axis=-1)
-        return S.sample_categorical(key, probs)
+        return S.sample_categorical(key, probs, noise=inj)
     return jnp.argmax(logits, axis=-1)
 
 

@@ -376,10 +376,7 @@ def t2i_generate_ar(
         cond, uncond = logits[:bsz], logits[bsz:]
         logits = uncond + guidance_scale * (cond - uncond)
         probs = jax.nn.softmax(logits / temperature, axis=-1)
-        if inj is not None:                                            # parity mode
-            g = -S.safe_log(-S.safe_log(inj.astype(probs.dtype)))
-            return jnp.argmax(S.safe_log(probs) + g, axis=-1)
-        return S.sample_categorical(k, probs)                          # [B]
+        return S.sample_categorical(k, probs, noise=inj)               # [B]
 
     k0, key = jax.random.split(key)
     first = sample_from(hidden[:, -1:], k0, None if noise is None else noise[0])

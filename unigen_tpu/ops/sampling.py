@@ -154,9 +154,18 @@ def top_k_top_p_filtering(
     return logits
 
 
-def sample_categorical(key: Array, probs: Array) -> Array:
+def sample_categorical(key: Array, probs: Array, noise: Array = None) -> Array:
     """Sample indices from (possibly unnormalized) probabilities, like torch.multinomial.
 
     Uses the Gumbel-max trick over log-probs for a single fused XLA kernel.
+
+    ``noise``: optional pre-drawn uniform[0,1) array of probs.shape consumed
+    instead of the key — the shared-noise cross-framework parity hook (the same
+    pattern as mask_by_random_topk's noise=). Keeps the uniform→Gumbel clamp
+    semantics in one place for every sampled-decode call site.
     """
-    return jnp.argmax(safe_log(probs) + gumbel_noise(key, probs.shape, probs.dtype), axis=-1)
+    if noise is not None:
+        g = -safe_log(-safe_log(noise.astype(probs.dtype)))
+    else:
+        g = gumbel_noise(key, probs.shape, probs.dtype)
+    return jnp.argmax(safe_log(probs) + g, axis=-1)
