@@ -341,6 +341,211 @@ def bench_tokenizer(batch_size: int = 16):
                       "synced": True}))
 
 
+def bench_train(mode: str = "pt2", steps: int = 20, tiny: bool = False,
+                batch_scale: float = 1.0):
+    """Training-step throughput: samples/sec/device for the flagship 1.5B at
+    the reference's own per-device batches (configs/unigen_1_5b/*.yaml; same
+    numbers as the reference configs of the same names). Random weights +
+    synthetic batches — identical FLOPs/memory traffic to real data. Modes:
+
+      pt2: unified 3-task pretraining step — 8 t2i + 2 lm + 6 mmu, seq 387
+           (reference training/train.py protocol)
+      sft: SigLIP-SO400M-tower step — 3 t2i + 1 lm + 4 mmu at L=1344
+           (3 head + 729 patches + 612 conversation tokens; tower frozen,
+           llm+mm_projector trainable; reference training/train_w_clip_vit.py)
+      dpo: 10 preference pairs — policy + frozen reference each forward a
+           concatenated [2b, 387] batch (reference training/train_dpo.py)
+
+    ``tiny`` runs the identical harness at toy widths on CPU (shape smoke).
+    ``batch_scale`` scales every sub-batch (DPO at 1.5B exceeds one 16GB chip
+    at the full reference batch; see BENCH.md training section).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    _enable_compile_cache()
+    from unigen_tpu.models import magvit, siglip, unigen
+    from unigen_tpu.training.dpo import DPOConfig, make_dpo_step
+    from unigen_tpu.training.optimizer import make_optimizer
+    from unigen_tpu.training.sft import SFTStepConfig, make_sft_train_step
+    from unigen_tpu.training.train_step import (TrainStepConfig, init_train_state,
+                                                make_train_step)
+
+    rng = np.random.default_rng(0)
+    if tiny:
+        cfg = unigen.UniGenConfig.tiny(w_und_encoder=True, mm_input_dim=32)
+        vq_cfg = magvit.MagvitConfig.tiny(z_channels=5, resolution=8)
+        vs_cfg = siglip.SiglipConfig.tiny()
+        pad, soi, eoi = 0, 1, 2
+        text_hi, res, text_budget = 100, 8, 8
+    else:
+        cfg = unigen.UniGenConfig.for_qwen25_15b(
+            w_und_encoder=True, mm_input_dim=1152)
+        vq_cfg = magvit.MagvitConfig(dtype=jnp.bfloat16)
+        vs_cfg = siglip.SiglipConfig.so400m(dtype=jnp.bfloat16)
+        pad, soi, eoi = 151643, 151665, 151666
+        text_hi, res, text_budget = 1000, 256, 129
+    n = cfg.num_vq_tokens
+    L = text_budget + n + 2          # [text | soi | img n | eoi] = 387 flagship
+
+    def scaled(b):
+        return max(1, round(b * batch_scale))
+
+    def t2i_arrays(b):
+        """Template/labels with the image block zeroed (spliced on device)."""
+        ids = np.concatenate([
+            np.full((b, 4), pad),
+            rng.integers(10, text_hi, size=(b, text_budget - 4)),
+            np.full((b, 1), soi), np.zeros((b, n), np.int64),
+            np.full((b, 1), eoi)], axis=1)
+        labels = np.full((b, L), -100, np.int64)
+        labels[:, text_budget + 1:text_budget + 1 + n] = 0
+        return jnp.asarray(ids), jnp.asarray(labels)
+
+    def lm_arrays(b):
+        ids = rng.integers(10, text_hi, size=(b, L))
+        ids[:, :4] = pad
+        labels = np.where(ids == pad, -100, ids)
+        return jnp.asarray(ids), jnp.asarray(labels)
+
+    def mmu_vq_arrays(b):
+        """Pretraining mmu layout: image block at [3:3+n], eoi, then text."""
+        ids = rng.integers(10, text_hi, size=(b, L))
+        ids[:, 3:3 + n] = 0
+        ids[:, 3 + n] = eoi
+        labels = np.where(np.arange(L)[None] < 4 + n, -100, ids)
+        return jnp.asarray(ids), jnp.asarray(labels)
+
+    t0 = time.perf_counter()
+    params = jax.jit(lambda k: unigen.init(k, cfg))(jax.random.key(0))
+    jax.block_until_ready(params)
+    vq_params = jax.jit(lambda k: magvit.init(k, vq_cfg))(jax.random.key(1))
+    vq_params = jax.tree_util.tree_map(lambda x: x.astype(vq_cfg.dtype), vq_params)
+    print(f"[bench] train init ({mode}): {time.perf_counter() - t0:.1f}s",
+          file=sys.stderr)
+
+    schedule = lambda step: 1.0  # constant LR: step cost is schedule-independent
+    key = jax.random.key(0)
+
+    if mode == "pt2":
+        bt, bl, bm = scaled(8), scaled(2), scaled(6)
+        tx = make_optimizer(params, 5e-5, schedule)
+        tcfg = TrainStepConfig(batch_size_t2i=bt, batch_size_lm=bl,
+                               batch_size_mmu=bm, pad_id=pad, soi_id=soi,
+                               eoi_id=eoi, remat=True)
+        step = jax.jit(make_train_step(cfg, vq_cfg, tx, tcfg), donate_argnums=(0,))
+        ti, tl = t2i_arrays(bt)
+        li, ll = lm_arrays(bl)
+        mi, ml = mmu_vq_arrays(bm)
+        batch = {"t2i_template": ti, "t2i_labels": tl,
+                 "t2i_pixels": jnp.asarray(
+                     rng.normal(size=(bt, res, res, 3)).astype(np.float32)),
+                 "lm_ids": li, "lm_labels": ll,
+                 "mmu_template": mi, "mmu_labels": ml,
+                 "mmu_pixels": jnp.asarray(
+                     rng.normal(size=(bm, res, res, 3)).astype(np.float32))}
+        run = lambda state, k: step(state, vq_params, batch, k)
+        samples = bt + bl + bm
+    elif mode == "sft":
+        bt, bl, bm = scaled(3), scaled(1), scaled(4)
+        vs_params = jax.jit(lambda k: siglip.init(k, vs_cfg))(jax.random.key(2))
+        vs_params = jax.tree_util.tree_map(
+            lambda x: x.astype(vs_cfg.dtype), vs_params)
+        tx = make_optimizer(params, 1e-5, schedule,
+                            tunable_parts=["llm", "mm_projector"],
+                            lr_mapper={"mm_projector": 10.0})
+        tcfg = SFTStepConfig(batch_size_t2i=bt, batch_size_lm=bl,
+                             batch_size_mmu=bm, pad_id=pad, soi_id=soi,
+                             eoi_id=eoi, remat=True)
+        step = jax.jit(make_sft_train_step(cfg, vq_cfg, vs_cfg, tx, tcfg),
+                       donate_argnums=(0,))
+        p_tokens = vs_cfg.num_patches
+        # reference SFT max_seq_length 1344 = 3 head + 729 patches + part2
+        part2_len = (1344 if not tiny else 3 + p_tokens + 8) - 3 - p_tokens
+        lm_sft = 3 + p_tokens + part2_len
+        part2 = rng.integers(10, text_hi, size=(bm, part2_len))
+        part2[:, 0] = eoi
+        mmu_labels = np.concatenate(
+            [np.full((bm, 3 + p_tokens + 1), -100),
+             rng.integers(10, text_hi, size=(bm, part2_len - 1))], axis=1)
+        ti, tl = t2i_arrays(bt)
+        li, ll = lm_arrays(bl)
+        batch = {"t2i_template": ti, "t2i_labels": tl,
+                 "t2i_pixels": jnp.asarray(
+                     rng.normal(size=(bt, res, res, 3)).astype(np.float32)),
+                 "lm_ids": li, "lm_labels": ll,
+                 "mmu_part1": jnp.asarray(
+                     rng.integers(10, text_hi, size=(bm, 3))),
+                 "mmu_part2": jnp.asarray(part2),
+                 "mmu_labels": jnp.asarray(mmu_labels),
+                 "mmu_pixels": jnp.asarray(rng.normal(
+                     size=(bm, vs_cfg.image_size, vs_cfg.image_size, 3)
+                 ).astype(np.float32)),
+                 "mmu_prompt_len": jnp.full((bm,), lm_sft)}
+        run = lambda state, k: step(state, vq_params, vs_params, batch, k)
+        samples = bt + bl + bm
+    elif mode == "dpo":
+        b = scaled(10)
+        ref_params = jax.tree_util.tree_map(jnp.copy, params)
+        tx = make_optimizer(params, 1e-6, schedule, max_grad_norm=1.0)
+        dcfg = DPOConfig(beta=0.1, pad_id=pad, soi_id=soi, eoi_id=eoi,
+                         max_grad_norm=1.0, remat=True)
+        step = jax.jit(make_dpo_step(cfg, vq_cfg, tx, dcfg), donate_argnums=(0,))
+        ti, tl = t2i_arrays(b)
+        batch = {"template": ti, "labels": tl,
+                 "chosen_pixels": jnp.asarray(
+                     rng.normal(size=(b, res, res, 3)).astype(np.float32)),
+                 "rejected_pixels": jnp.asarray(
+                     rng.normal(size=(b, res, res, 3)).astype(np.float32))}
+        run = lambda state, k: step(state, ref_params, vq_params, batch, k)
+        samples = b  # preference pairs per step
+    else:
+        raise SystemExit(f"unknown train mode {mode!r} (pt2|sft|dpo)")
+
+    state = init_train_state(params, tx)
+    del params  # the state owns them; keep peak memory honest with donation
+    keys = list(jax.random.split(key, steps + 1))
+
+    synced, oom = True, False
+    value = 0.0
+    try:
+        with _Watchdog(2400):
+            t0 = time.perf_counter()
+            state, metrics = run(state, keys[0])
+            _ = float(metrics["loss"])
+            print(f"[bench] train({mode}) compile+warmup: "
+                  f"{time.perf_counter() - t0:.1f}s loss={float(metrics['loss']):.3f}",
+                  file=sys.stderr)
+        with _Watchdog(1200):
+            t0 = time.perf_counter()
+            for i in range(steps):
+                state, metrics = run(state, keys[i + 1])
+            _ = float(metrics["loss"])  # host fetch = the only reliable fence
+            dt = time.perf_counter() - t0
+        value = samples * steps / dt
+        print(f"[bench] train({mode}): {dt / steps:.3f}s/step over {steps} steps",
+              file=sys.stderr)
+    except TimeoutError:
+        synced = False
+        print("[bench] train phase wedged or over budget", file=sys.stderr)
+    except Exception as e:  # surface OOM as data, not a stack trace
+        if "RESOURCE_EXHAUSTED" in str(e) or "Out of memory" in str(e).lower():
+            oom = True
+            print(f"[bench] train({mode}) OOM at batch_scale={batch_scale}: "
+                  f"{str(e).splitlines()[0][:200]}", file=sys.stderr)
+        else:
+            raise
+    unit = "pairs/sec/device" if mode == "dpo" else "samples/sec/device"
+    print(json.dumps({
+        "metric": f"training step throughput [{mode}]"
+                  + (" [tiny]" if tiny else ""),
+        "value": round(value, 2), "unit": unit, "vs_baseline": None,
+        "synced": synced, "oom": oom,
+        "config": {"mode": mode, "samples_per_step": samples, "steps": steps,
+                   "batch_scale": batch_scale, "seq": int(L),
+                   "remat": True, "dtype": "bf16" if not tiny else "fp32"}}))
+
+
 if __name__ == "__main__":
     args = sys.argv[1:]
     if args and args[0] == "vqa":
@@ -349,6 +554,12 @@ if __name__ == "__main__":
         bench_vqa(batch_size=int(nums[0]) if nums else 8, quant=q)
     elif args and args[0] == "tokenizer":
         bench_tokenizer(batch_size=int(args[1]) if len(args) > 1 else 16)
+    elif args and args[0] == "train":
+        mode = next((a for a in args[1:] if a in ("pt2", "sft", "dpo")), "pt2")
+        nums = [a for a in args[1:] if a.isdigit()]
+        scale = next((float(a[1:]) for a in args if a.startswith("x")), 1.0)
+        bench_train(mode, steps=int(nums[0]) if nums else 20,
+                    tiny="tiny" in args, batch_scale=scale)
     else:
         # int8 W8A8 is the default (fastest exactness-gated config, BENCH.md);
         # `python bench.py bf16` benches the full-precision path. Batch 6 is

@@ -58,7 +58,8 @@ def main():
                      pad_id=prompting.pad_id,
                      soi_id=prompting.sptids_dict["<|soi|>"],
                      eoi_id=prompting.sptids_dict["<|eoi|>"],
-                     max_grad_norm=tr.get("max_grad_norm"))
+                     max_grad_norm=tr.get("max_grad_norm"),
+                     remat=config.model.get("gradient_checkpointing", False))
     step = jax.jit(make_dpo_step(cfg, vq_cfg, tx, dcfg), donate_argnums=(0,))
     state = init_train_state(params, tx)
     metrics_log = MetricLogger(config.experiment.output_dir)

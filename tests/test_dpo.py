@@ -42,6 +42,48 @@ def test_get_batch_logps_matches_torch():
         np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
 
 
+def _dpo_fixture():
+    cfg = U.UniGenConfig.tiny()
+    vq_cfg = MV.MagvitConfig.tiny(resolution=8, z_channels=5)
+    params = U.init(jax.random.key(0), cfg)
+    ref_params = jax.tree_util.tree_map(jnp.copy, params)
+    vq_params = MV.init(jax.random.key(1), vq_cfg)
+    n, L, b = cfg.num_vq_tokens, 28, 2
+    rng = np.random.default_rng(0)
+    template = rng.integers(3, 100, size=(b, L))
+    template[:, -n - 2] = 1
+    template[:, -n - 1:-1] = 0
+    template[:, -1] = 2
+    batch = {
+        "template": jnp.asarray(template),
+        "labels": jnp.full((b, L), -100, jnp.int32),
+        "chosen_pixels": jnp.asarray(rng.normal(size=(b, 8, 8, 3)), jnp.float32),
+        "rejected_pixels": jnp.asarray(rng.normal(size=(b, 8, 8, 3)), jnp.float32),
+    }
+    return cfg, vq_cfg, params, ref_params, vq_params, batch
+
+
+@pytest.mark.parametrize("mode", ["mask", "ar"])
+def test_dpo_memory_efficient_logps_match_dense(mode):
+    """Chunked VQ-block logps (default; no [2B, L, 160k] logits tensor) give the
+    same DPO loss, rewards, and gradients as the dense head in both gen modes."""
+    cfg, vq_cfg, params, ref_params, vq_params, batch = _dpo_fixture()
+    schedule = LRS.get_scheduler("constant")
+    results = {}
+    for eff in (True, False):
+        tx = make_optimizer(params, 5e-4, schedule, max_grad_norm=1.0)
+        dcfg = DPOConfig(beta=0.1, t2i_gen_mode=mode, average_log_prob=True,
+                         memory_efficient_logps=eff)
+        step = jax.jit(make_dpo_step(cfg, vq_cfg, tx, dcfg))
+        state = init_train_state(jax.tree_util.tree_map(jnp.copy, params), tx)
+        _, metrics = step(state, ref_params, vq_params, batch, jax.random.key(7))
+        results[eff] = {k: float(v) for k, v in metrics.items()}
+    for k in ("loss", "policy_chosen_logps", "policy_rejected_logps",
+              "reward_accuracy", "grad_norm"):
+        np.testing.assert_allclose(results[True][k], results[False][k],
+                                   rtol=2e-5, atol=1e-6, err_msg=k)
+
+
 def test_dpo_step_learns_preference():
     cfg = U.UniGenConfig.tiny()
     vq_cfg = MV.MagvitConfig.tiny(resolution=8, z_channels=5)

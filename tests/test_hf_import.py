@@ -142,14 +142,11 @@ def test_import_weights_runbook_dryrun(tmp_path):
     assert np.isfinite(np.asarray(h)).all()
 
 
-def test_sft_step_runs():
-    from unigen_tpu.training import lr_schedules as LRS
-    from unigen_tpu.training.optimizer import make_optimizer
-    from unigen_tpu.training.sft import SFTStepConfig, make_sft_train_step
-    from unigen_tpu.training.train_step import init_train_state
+def _sft_fixture():
+    """Tiny three-task SFT setup shared by the step tests."""
+    from unigen_tpu.models import magvit as MV
 
     cfg = U.UniGenConfig.tiny(w_und_encoder=True, mm_input_dim=32)
-    from unigen_tpu.models import magvit as MV
     vq_cfg = MV.MagvitConfig.tiny(resolution=8, z_channels=5)
     vs_cfg = SG.SiglipConfig.tiny(image_size=28, patch_size=14, hidden_size=32)
     params = U.init(jax.random.key(0), cfg)
@@ -179,6 +176,17 @@ def test_sft_step_runs():
         "mmu_pixels": jnp.asarray(rng.normal(size=(b, 28, 28, 3)), jnp.float32),
         "mmu_prompt_len": jnp.asarray([3 + p + 8, 3 + p + 6]),
     }
+    return cfg, vq_cfg, vs_cfg, params, vq_params, vs_params, batch
+
+
+def test_sft_step_runs():
+    from unigen_tpu.training import lr_schedules as LRS
+    from unigen_tpu.training.optimizer import make_optimizer
+    from unigen_tpu.training.sft import SFTStepConfig, make_sft_train_step
+    from unigen_tpu.training.train_step import init_train_state
+
+    cfg, vq_cfg, vs_cfg, params, vq_params, vs_params, batch = _sft_fixture()
+    b = 2
     schedule = LRS.get_scheduler("constant")
     tx = make_optimizer(params, 1e-3, schedule,
                         lr_mapper={"mm_projector": 2.0},
@@ -189,6 +197,31 @@ def test_sft_step_runs():
     state, metrics = step(state, vq_params, vs_params, batch, jax.random.key(0))
     for k in ("loss", "loss_t2i", "loss_lm", "loss_mmu"):
         assert np.isfinite(float(metrics[k])), k
+
+
+def test_sft_memory_efficient_loss_matches_dense():
+    """The chunked-CE SFT step (default; no [B, L, 160k] logits tensor) computes
+    the same losses and gradients as the dense path on all three tasks."""
+    from unigen_tpu.training import lr_schedules as LRS
+    from unigen_tpu.training.optimizer import make_optimizer
+    from unigen_tpu.training.sft import SFTStepConfig, make_sft_train_step
+    from unigen_tpu.training.train_step import init_train_state
+
+    cfg, vq_cfg, vs_cfg, params, vq_params, vs_params, batch = _sft_fixture()
+    b = 2
+    schedule = LRS.get_scheduler("constant")
+    results = {}
+    for eff in (True, False):
+        tx = make_optimizer(params, 1e-3, schedule)
+        tcfg = SFTStepConfig(batch_size_t2i=b, batch_size_lm=b, batch_size_mmu=b,
+                             memory_efficient_loss=eff)
+        step = jax.jit(make_sft_train_step(cfg, vq_cfg, vs_cfg, tx, tcfg))
+        state = init_train_state(jax.tree_util.tree_map(jnp.copy, params), tx)
+        _, metrics = step(state, vq_params, vs_params, batch, jax.random.key(0))
+        results[eff] = {k: float(v) for k, v in metrics.items()}
+    for k in ("loss", "loss_t2i", "loss_lm", "loss_mmu", "grad_norm"):
+        np.testing.assert_allclose(results[True][k], results[False][k],
+                                   rtol=2e-5, err_msg=k)
 
 
 def test_grid_tiles():

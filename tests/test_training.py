@@ -135,6 +135,102 @@ def test_sharded_train_step_runs_on_mesh(eight_devices):
     assert "model" in str(q_sharding.spec)
 
 
+def test_sharded_sft_step_runs_on_mesh(eight_devices):
+    """DP×TP SFT step (SigLIP tower + three tasks) over the 8-virtual-device
+    mesh — the scale-out topology for the reference's train_w_clip_vit stage."""
+    from unigen_tpu.models import siglip as SG
+    from unigen_tpu.parallel.partition import partition_siglip
+    from unigen_tpu.training.sft import SFTStepConfig, make_sft_train_step
+
+    cfg = U.UniGenConfig.tiny(w_und_encoder=True, mm_input_dim=32)
+    vq_cfg = MV.MagvitConfig.tiny(resolution=8, z_channels=5)
+    vs_cfg = SG.SiglipConfig.tiny(image_size=28, patch_size=14, hidden_size=32)
+    params = U.init(jax.random.key(0), cfg)
+    vq_params = MV.init(jax.random.key(1), vq_cfg)
+    vs_params = SG.init(jax.random.key(2), vs_cfg)
+    b, n, L = 4, cfg.num_vq_tokens, 28
+    rng = np.random.default_rng(0)
+    t2i_template = rng.integers(3, 100, size=(b, L))
+    t2i_template[:, -n - 2] = 1
+    t2i_template[:, -n - 1:-1] = 0
+    t2i_template[:, -1] = 2
+    p = vs_cfg.num_patches
+    labels = np.full((b, 3 + p + 8), -100)
+    labels[:, -4:] = rng.integers(3, 100, size=(b, 4))
+    batch = {
+        "t2i_template": jnp.asarray(t2i_template),
+        "t2i_labels": jnp.full((b, L), -100, jnp.int32),
+        "t2i_pixels": jnp.asarray(rng.normal(size=(b, 8, 8, 3)), jnp.float32),
+        "lm_ids": jnp.asarray(rng.integers(3, 100, size=(b, L))),
+        "lm_labels": jnp.asarray(rng.integers(3, 100, size=(b, L))),
+        "mmu_part1": jnp.asarray(rng.integers(3, 100, size=(b, 3))),
+        "mmu_part2": jnp.asarray(rng.integers(3, 100, size=(b, 8))),
+        "mmu_labels": jnp.asarray(labels),
+        "mmu_pixels": jnp.asarray(rng.normal(size=(b, 28, 28, 3)), jnp.float32),
+        "mmu_prompt_len": jnp.full((b,), 3 + p + 8),
+    }
+    mesh = make_mesh(data=4, fsdp=1, model=2)
+    params_sharded = shard_params(params, partition_unigen(params), mesh)
+    vq_sharded = shard_params(vq_params, partition_magvit(vq_params), mesh)
+    vs_sharded = shard_params(vs_params, partition_siglip(vs_params), mesh)
+    schedule = LRS.get_scheduler("constant")
+    tx = make_optimizer(params, 1e-3, schedule,
+                        tunable_parts=["mm_projector", "llm"])
+    tcfg = SFTStepConfig(batch_size_t2i=b, batch_size_lm=b, batch_size_mmu=b)
+    step = make_sft_train_step(cfg, vq_cfg, vs_cfg, tx, tcfg)
+    state = init_train_state(params_sharded, tx)
+    batch = {k: jax.device_put(v, NamedSharding(mesh, partition_batch(v.ndim)))
+             for k, v in batch.items()}
+    with jax.set_mesh(mesh):
+        state, metrics = jax.jit(step)(state, vq_sharded, vs_sharded, batch,
+                                       jax.random.key(0))
+    for k in ("loss", "loss_t2i", "loss_lm", "loss_mmu"):
+        assert np.isfinite(float(metrics[k])), k
+    q_sharding = state.params["llm"]["layers"]["attn"]["q"]["kernel"].sharding
+    assert "model" in str(q_sharding.spec)
+
+
+def test_sharded_dpo_step_runs_on_mesh(eight_devices):
+    """DP×TP DPO step (policy + frozen reference) over the 8-virtual-device
+    mesh — the scale-out topology for the reference's train_dpo stage."""
+    from unigen_tpu.training.dpo import DPOConfig, make_dpo_step
+
+    cfg = U.UniGenConfig.tiny()
+    vq_cfg = MV.MagvitConfig.tiny(resolution=8, z_channels=5)
+    params = U.init(jax.random.key(0), cfg)
+    vq_params = MV.init(jax.random.key(1), vq_cfg)
+    n, L, b = cfg.num_vq_tokens, 28, 4
+    rng = np.random.default_rng(0)
+    template = rng.integers(3, 100, size=(b, L))
+    template[:, -n - 2] = 1
+    template[:, -n - 1:-1] = 0
+    template[:, -1] = 2
+    batch = {
+        "template": jnp.asarray(template),
+        "labels": jnp.full((b, L), -100, jnp.int32),
+        "chosen_pixels": jnp.asarray(rng.normal(size=(b, 8, 8, 3)), jnp.float32),
+        "rejected_pixels": jnp.asarray(rng.normal(size=(b, 8, 8, 3)), jnp.float32),
+    }
+    mesh = make_mesh(data=4, fsdp=1, model=2)
+    pspecs = partition_unigen(params)
+    params_sharded = shard_params(params, pspecs, mesh)
+    ref_sharded = shard_params(params, pspecs, mesh)
+    vq_sharded = shard_params(vq_params, partition_magvit(vq_params), mesh)
+    schedule = LRS.get_scheduler("constant")
+    tx = make_optimizer(params, 5e-4, schedule, max_grad_norm=1.0)
+    step = make_dpo_step(cfg, vq_cfg, tx, DPOConfig(beta=0.1))
+    state = init_train_state(params_sharded, tx)
+    batch = {k: jax.device_put(v, NamedSharding(mesh, partition_batch(v.ndim)))
+             for k, v in batch.items()}
+    with jax.set_mesh(mesh):
+        state, metrics = jax.jit(step)(state, ref_sharded, vq_sharded, batch,
+                                       jax.random.key(0))
+    assert np.isfinite(float(metrics["loss"]))
+    assert np.isfinite(float(metrics["grad_norm"]))
+    q_sharding = state.params["llm"]["layers"]["attn"]["q"]["kernel"].sharding
+    assert "model" in str(q_sharding.spec)
+
+
 def test_checkpoint_roundtrip(tmp_path):
     from unigen_tpu.utils import checkpoint as CK
     cfg, vq_cfg, params, vq_params, mk_batch, tx, tcfg, step_fn = _tiny_setup()

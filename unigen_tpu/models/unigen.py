@@ -218,12 +218,16 @@ def forward(
     t2i_mode: str = "mask",
     remat: bool = False,
     memory_efficient_loss: bool = False,
+    return_hidden: bool = False,
 ):
     """Unified forward (reference: unigen.py:240-342).
 
     Without labels: returns logits (img_logits when the gen projector is active and
     the whole batch is t2i). With labels: returns (logits, loss_t2i, loss_lm,
-    loss_mmu) where each loss is computed on its batch slice.
+    loss_mmu) where each loss is computed on its batch slice. With
+    ``return_hidden``: returns the final hidden states instead of projecting to
+    logits — callers that only need a slice of the vocab projection (e.g. DPO's
+    trailing VQ block) can avoid materializing the [B, L, 160k] logits tensor.
     """
     n = cfg.num_vq_tokens
     use_gen = cfg.use_gen_projector and batch_size_t2i > 0
@@ -242,6 +246,9 @@ def forward(
 
     hidden, _ = qwen2.forward(params["llm"], cfg.llm, inputs_embeds=input_embeddings,
                               mask=attention_mask, meta=attn_meta, remat=remat)
+
+    if return_hidden:
+        return hidden
 
     if memory_efficient_loss and labels is not None and not use_gen:
         # chunked CE straight from hidden states: the [B, L, 160k] fp32 logits

@@ -15,7 +15,7 @@ import jax
 import jax.numpy as jnp
 import optax
 
-from ..models import magvit, unigen
+from ..models import magvit, qwen2, unigen
 from ..models.unigen import UniGenConfig
 from ..ops import masking as MK
 from ..ops import masks as M
@@ -39,6 +39,11 @@ class DPOConfig:
     soi_id: int = 1
     eoi_id: int = 2
     remat: bool = False
+    # Chunked logps over the trailing VQ block: the [2B, L, 160k] fp32 logits
+    # tensor (≈5 GB at the reference's batch of 10 pairs) never materializes.
+    # Exact match to the dense path (tests/test_dpo.py). Ignored with a gen
+    # projector, whose 8k-wide img_head is already cheap.
+    memory_efficient_logps: bool = True
 
 
 def get_batch_logps(logits: Array, labels: Array, *, num_vq_tokens: int = 256,
@@ -60,6 +65,46 @@ def get_batch_logps(logits: Array, labels: Array, *, num_vq_tokens: int = 256,
     total = (per_tok * loss_mask).sum(-1)
     if average_log_prob:
         return total / loss_mask.sum(-1)
+    return total
+
+
+def get_batch_logps_from_hidden(hidden: Array, w: Array, labels: Array, *,
+                                average_log_prob: bool = False,
+                                label_pad_token_id: int = -100,
+                                chunk: int = 64) -> Array:
+    """Per-row sum (or mean) of label log-probs, projecting hidden -> vocab
+    chunk-by-chunk along the sequence (cf. models.unigen._chunked_ce). The
+    caller pre-slices ``hidden``/``labels`` so position i of one predicts
+    position i of the other; with the unified 160k vocabulary this keeps peak
+    logits memory at [B, chunk, V] while matching ``get_batch_logps`` exactly
+    (same bf16 matmul -> fp32 log_softmax as the dense head)."""
+    b, l, d = hidden.shape
+    pad = (-l) % chunk
+    if pad:
+        hidden = jnp.pad(hidden, ((0, 0), (0, pad), (0, 0)))
+        labels = jnp.pad(labels, ((0, 0), (0, pad)),
+                         constant_values=label_pad_token_id)
+    n_chunks = (l + pad) // chunk
+    h = hidden.reshape(b, n_chunks, -1, d).swapaxes(0, 1)   # [C, B, chunk, D]
+    lab = labels.reshape(b, n_chunks, -1).swapaxes(0, 1)
+
+    @jax.checkpoint
+    def body(carry, xs):
+        total, count = carry
+        h_c, lab_c = xs
+        logits = (h_c @ w.astype(h_c.dtype)).astype(jnp.float32)
+        mask = lab_c != label_pad_token_id
+        safe = jnp.where(mask, lab_c, 0)
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        tok = jnp.take_along_axis(logp, safe[..., None], axis=-1)[..., 0]
+        return (total + jnp.sum(jnp.where(mask, tok, 0.0), axis=-1),
+                count + jnp.sum(mask, axis=-1)), None
+
+    (total, count), _ = jax.lax.scan(
+        body, (jnp.zeros((b,), jnp.float32), jnp.zeros((b,), jnp.int32)),
+        (h, lab))
+    if average_log_prob:
+        return total / count
     return total
 
 
@@ -105,6 +150,20 @@ def make_dpo_step(cfg: UniGenConfig, vq_cfg: magvit.MagvitConfig,
         return ids, labs, att, mask_prob
 
     def concatenated_logps(params, ids, labs, att, b):
+        if dcfg.memory_efficient_logps and not cfg.use_gen_projector:
+            hidden = unigen.forward(params, cfg, input_ids=ids,
+                                    attention_mask=att, batch_size_t2i=2 * b,
+                                    t2i_mode=dcfg.t2i_gen_mode,
+                                    remat=dcfg.remat, return_hidden=True)
+            w = qwen2.lm_head_weight(params["llm"], cfg.llm)
+            if dcfg.t2i_gen_mode == "ar":
+                # dense path: logits block [:-1] predicts labels block [1:]
+                h, lab = hidden[:, -(n + 1):-2], labs[:, -n:-1]
+            else:
+                h, lab = hidden[:, -(n + 1):-1], labs[:, -(n + 1):-1]
+            logps = get_batch_logps_from_hidden(
+                h, w, lab, average_log_prob=dcfg.average_log_prob)
+            return logps[:b], logps[b:]
         out = unigen.forward(params, cfg, input_ids=ids, attention_mask=att,
                              batch_size_t2i=2 * b, t2i_mode=dcfg.t2i_gen_mode,
                              remat=dcfg.remat)

@@ -122,7 +122,8 @@ def make_sft_train_step(
             _, lt, _, _ = unigen.forward(params, cfg, input_ids=ids,
                                          attention_mask=att, labels=labs,
                                          batch_size_t2i=ids.shape[0],
-                                         t2i_mode=tcfg.t2i_gen_mode, remat=tcfg.remat)
+                                         t2i_mode=tcfg.t2i_gen_mode, remat=tcfg.remat,
+                                         memory_efficient_loss=tcfg.memory_efficient_loss)
             losses["loss_t2i"] = lt
             total = total + tcfg.t2i_coeff * lt
             mask_prob = masked.mask_prob
@@ -132,7 +133,8 @@ def make_sft_train_step(
             att = M.causal_mask_from_attention((ids != tcfg.pad_id).astype(jnp.int32))
             _, _, ll, _ = unigen.forward(params, cfg, input_ids=ids,
                                          attention_mask=att, labels=batch["lm_labels"],
-                                         batch_size_lm=ids.shape[0], remat=tcfg.remat)
+                                         batch_size_lm=ids.shape[0], remat=tcfg.remat,
+                                         memory_efficient_loss=tcfg.memory_efficient_loss)
             losses["loss_lm"] = ll
             total = total + tcfg.lm_coeff * ll
 
@@ -153,7 +155,8 @@ def make_sft_train_step(
             _, _, _, lm = unigen.forward(params, cfg, input_ids=None,
                                          input_embeddings=embeds, attention_mask=att,
                                          labels=batch["mmu_labels"],
-                                         batch_size_mmu=b, remat=tcfg.remat)
+                                         batch_size_mmu=b, remat=tcfg.remat,
+                                         memory_efficient_loss=tcfg.memory_efficient_loss)
             losses["loss_mmu"] = lm
             total = total + tcfg.mmu_coeff * lm
 
