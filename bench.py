@@ -342,7 +342,7 @@ def bench_tokenizer(batch_size: int = 16):
 
 
 def bench_train(mode: str = "pt2", steps: int = 20, tiny: bool = False,
-                batch_scale: float = 1.0):
+                batch_scale: float = 1.0, online_ref: bool = False):
     """Training-step throughput: samples/sec/device for the flagship 1.5B at
     the reference's own per-device batches (configs/unigen_1_5b/*.yaml; same
     numbers as the reference configs of the same names). Random weights +
@@ -363,6 +363,11 @@ def bench_train(mode: str = "pt2", steps: int = 20, tiny: bool = False,
     import jax
     import jax.numpy as jnp
 
+    if tiny:
+        # the ambient sitecustomize re-forces the TPU relay platform after env
+        # parsing, so JAX_PLATFORMS=cpu alone does not stick; the tiny smoke
+        # must never burn relay compiles
+        jax.config.update("jax_platforms", "cpu")
     _enable_compile_cache()
     from unigen_tpu.models import magvit, siglip, unigen
     from unigen_tpu.training.dpo import DPOConfig, make_dpo_step
@@ -454,15 +459,18 @@ def bench_train(mode: str = "pt2", steps: int = 20, tiny: bool = False,
         tx = make_optimizer(params, 1e-5, schedule,
                             tunable_parts=["llm", "mm_projector"],
                             lr_mapper={"mm_projector": 10.0})
-        tcfg = SFTStepConfig(batch_size_t2i=bt, batch_size_lm=bl,
-                             batch_size_mmu=bm, pad_id=pad, soi_id=soi,
-                             eoi_id=eoi, remat=True)
-        step = jax.jit(make_sft_train_step(cfg, vq_cfg, vs_cfg, tx, tcfg),
-                       donate_argnums=(0,))
         p_tokens = vs_cfg.num_patches
         # reference SFT max_seq_length 1344 = 3 head + 729 patches + part2
-        part2_len = (1344 if not tiny else 3 + p_tokens + 8) - 3 - p_tokens
+        part2_len = (1344 if not tiny else 3 + p_tokens + 28) - 3 - p_tokens
         lm_sft = 3 + p_tokens + part2_len
+        # common_length: all three flows in ONE backbone call (left-padded
+        # t2i/lm rows) — the only shape whose optimizer-state + single
+        # grad-tree footprint fits flagship SFT on a 16GB chip (BENCH.md)
+        tcfg = SFTStepConfig(batch_size_t2i=bt, batch_size_lm=bl,
+                             batch_size_mmu=bm, pad_id=pad, soi_id=soi,
+                             eoi_id=eoi, remat=True, common_length=lm_sft)
+        step = jax.jit(make_sft_train_step(cfg, vq_cfg, vs_cfg, tx, tcfg),
+                       donate_argnums=(0,))
         part2 = rng.integers(10, text_hi, size=(bm, part2_len))
         part2[:, 0] = eoi
         mmu_labels = np.concatenate(
@@ -485,11 +493,18 @@ def bench_train(mode: str = "pt2", steps: int = 20, tiny: bool = False,
         run = lambda state, k: step(state, vq_params, vs_params, batch, k)
         samples = bt + bl + bm
     elif mode == "dpo":
+        from unigen_tpu.training.dpo import make_ref_logps_fn
+
         b = scaled(10)
-        ref_params = jax.tree_util.tree_map(jnp.copy, params)
         tx = make_optimizer(params, 1e-6, schedule, max_grad_norm=1.0)
+        # precomputed_ref (default): the reference policy == the step-0 policy,
+        # so its logps are computed ahead of the loop and the second 1.5B model
+        # is never HBM-resident during training — the config that fits one
+        # 16GB chip (training/dpo.py::make_ref_logps_fn). `online` measures
+        # the reference's resident-second-model protocol instead.
         dcfg = DPOConfig(beta=0.1, pad_id=pad, soi_id=soi, eoi_id=eoi,
-                         max_grad_norm=1.0, remat=True)
+                         max_grad_norm=1.0, remat=True,
+                         precomputed_ref=not online_ref)
         step = jax.jit(make_dpo_step(cfg, vq_cfg, tx, dcfg), donate_argnums=(0,))
         ti, tl = t2i_arrays(b)
         batch = {"template": ti, "labels": tl,
@@ -497,7 +512,25 @@ def bench_train(mode: str = "pt2", steps: int = 20, tiny: bool = False,
                      rng.normal(size=(b, res, res, 3)).astype(np.float32)),
                  "rejected_pixels": jnp.asarray(
                      rng.normal(size=(b, res, res, 3)).astype(np.float32))}
-        run = lambda state, k: step(state, ref_params, vq_params, batch, k)
+        if online_ref:
+            ref_params = jax.tree_util.tree_map(jnp.copy, params)
+            run = lambda state, k: step(state, ref_params, vq_params, batch, k)
+        else:
+            ref_fn = jax.jit(make_ref_logps_fn(cfg, vq_cfg, dcfg))
+            all_keys = jax.random.split(key, steps + 1)
+            t0 = time.perf_counter()
+            refs = [jax.tree_util.tree_map(np.asarray,
+                                           ref_fn(params, vq_params, batch, k))
+                    for k in all_keys]
+            print(f"[bench] dpo ref precompute ({steps + 1} batches): "
+                  f"{time.perf_counter() - t0:.1f}s (one-time per epoch; "
+                  "reused across epochs)", file=sys.stderr)
+            calls = {"i": 0}
+
+            def run(state, k):
+                r = refs[calls["i"] % len(refs)]
+                calls["i"] += 1
+                return step(state, None, vq_params, {**batch, **r}, k)
         samples = b  # preference pairs per step
     else:
         raise SystemExit(f"unknown train mode {mode!r} (pt2|sft|dpo)")
@@ -529,10 +562,15 @@ def bench_train(mode: str = "pt2", steps: int = 20, tiny: bool = False,
         synced = False
         print("[bench] train phase wedged or over budget", file=sys.stderr)
     except Exception as e:  # surface OOM as data, not a stack trace
-        if "RESOURCE_EXHAUSTED" in str(e) or "Out of memory" in str(e).lower():
+        msg = str(e)
+        # compile-time HBM overflows arrive from the relay's compile helper as
+        # an HTTP 500 whose detail ("Ran out of memory in memory space hbm")
+        # only reaches the server-side stderr log — treat those as OOM too
+        if ("RESOURCE_EXHAUSTED" in msg or "out of memory" in msg.lower()
+                or "tpu_compile_helper" in msg):
             oom = True
             print(f"[bench] train({mode}) OOM at batch_scale={batch_scale}: "
-                  f"{str(e).splitlines()[0][:200]}", file=sys.stderr)
+                  f"{msg.splitlines()[0][:200]}", file=sys.stderr)
         else:
             raise
     unit = "pairs/sec/device" if mode == "dpo" else "samples/sec/device"
@@ -543,7 +581,10 @@ def bench_train(mode: str = "pt2", steps: int = 20, tiny: bool = False,
         "synced": synced, "oom": oom,
         "config": {"mode": mode, "samples_per_step": samples, "steps": steps,
                    "batch_scale": batch_scale, "seq": int(L),
-                   "remat": True, "dtype": "bf16" if not tiny else "fp32"}}))
+                   "remat": True, "dtype": "bf16" if not tiny else "fp32",
+                   **({"ref_mode": "online" if online_ref else "precomputed"}
+                      if mode == "dpo" else {}),
+                   **({"common_length": int(lm_sft)} if mode == "sft" else {})}}))
 
 
 if __name__ == "__main__":
@@ -559,7 +600,8 @@ if __name__ == "__main__":
         nums = [a for a in args[1:] if a.isdigit()]
         scale = next((float(a[1:]) for a in args if a.startswith("x")), 1.0)
         bench_train(mode, steps=int(nums[0]) if nums else 20,
-                    tiny="tiny" in args, batch_scale=scale)
+                    tiny="tiny" in args, batch_scale=scale,
+                    online_ref="online" in args)
     else:
         # int8 W8A8 is the default (fastest exactness-gated config, BENCH.md);
         # `python bench.py bf16` benches the full-precision path. Batch 6 is

@@ -36,12 +36,22 @@ def main():
     tokenizer = launch.load_tokenizer(config)
     prompting = launch.build_prompting(config, tokenizer)
     params, cfg = launch.build_unigen(config, prompting)
-    ref_params = jax.tree_util.tree_map(jnp.copy, params)  # frozen reference policy
     vq_params, vq_cfg = launch.build_vq(config)
 
     tr = config.training
     n = cfg.num_vq_tokens
     b = tr.batch_size_t2i
+    # precompute_ref: DPO's reference policy is the frozen step-0 policy, so a
+    # forward-only pass ahead of training computes every batch's reference
+    # logps and the second 1.5B model is never HBM-resident during training —
+    # the memory shape that fits flagship DPO on one 16GB chip (exactness:
+    # tests/test_dpo.py::test_dpo_precomputed_ref_matches_online). Needs the
+    # deterministic (seeded) dataset so the ref pass replays the training
+    # schedule; the synthetic smoke stream keeps the online reference.
+    use_precomputed = bool(tr.get("precompute_ref", False)) \
+        and not config.dataset.get("synthetic", False)
+    ref_params = None if use_precomputed \
+        else jax.tree_util.tree_map(jnp.copy, params)  # frozen reference policy
 
     schedule = LRS.get_scheduler(
         config.lr_scheduler.scheduler,
@@ -59,7 +69,8 @@ def main():
                      soi_id=prompting.sptids_dict["<|soi|>"],
                      eoi_id=prompting.sptids_dict["<|eoi|>"],
                      max_grad_norm=tr.get("max_grad_norm"),
-                     remat=config.model.get("gradient_checkpointing", False))
+                     remat=config.model.get("gradient_checkpointing", False),
+                     precomputed_ref=use_precomputed)
     step = jax.jit(make_dpo_step(cfg, vq_cfg, tx, dcfg), donate_argnums=(0,))
     state = init_train_state(params, tx)
     metrics_log = MetricLogger(config.experiment.output_dir)
@@ -81,21 +92,44 @@ def main():
             for epoch in range(tr.get("num_epoch", 1)):
                 yield from iter(ds)
 
-    key = jax.random.key(tr.get("seed", 10084))
+    start_key = jax.random.key(tr.get("seed", 10084))
     max_steps = tr.get("max_train_steps", None)
     placeholder = np.zeros((b, n), np.int64)
+
+    def step_schedule():
+        """(device_batch, masking key) pairs; deterministic, so the reference
+        precompute pass and the training pass see identical masking draws."""
+        key, gs = start_key, 0
+        for batch in batches():
+            if max_steps and gs >= max_steps:
+                return
+            ids, _, labels = prompting((batch["batch_prompt_list"], placeholder,
+                                        placeholder), "t2i")
+            key, sub = jax.random.split(key)
+            yield {
+                "template": jnp.asarray(ids), "labels": jnp.asarray(labels),
+                "chosen_pixels": jnp.asarray(batch["batch_chosen_image"]),
+                "rejected_pixels": jnp.asarray(batch["batch_rejected_image"]),
+            }, sub
+            gs += 1
+
+    ref_cache = None
+    if use_precomputed:
+        import time as _time
+        from unigen_tpu.training.dpo import make_ref_logps_fn
+        ref_fn = jax.jit(make_ref_logps_fn(cfg, vq_cfg, dcfg))
+        t0 = _time.time()
+        ref_cache = [jax.tree_util.tree_map(np.asarray,
+                                            ref_fn(params, vq_params, db, sub))
+                     for db, sub in step_schedule()]
+        logger.info(f"precomputed reference logps for {len(ref_cache)} steps "
+                    f"in {_time.time() - t0:.1f}s (forward-only pass; the "
+                    "reference model is now released)")
+
     global_step = 0
-    for batch in batches():
-        if max_steps and global_step >= max_steps:
-            break
-        ids, _, labels = prompting((batch["batch_prompt_list"], placeholder,
-                                    placeholder), "t2i")
-        key, sub = jax.random.split(key)
-        device_batch = {
-            "template": jnp.asarray(ids), "labels": jnp.asarray(labels),
-            "chosen_pixels": jnp.asarray(batch["batch_chosen_image"]),
-            "rejected_pixels": jnp.asarray(batch["batch_rejected_image"]),
-        }
+    for device_batch, sub in step_schedule():
+        if use_precomputed:
+            device_batch = {**device_batch, **ref_cache[global_step]}
         state, metrics = step(state, ref_params, vq_params, device_batch, sub)
         global_step += 1
         if global_step % config.experiment.get("log_every", 20) == 0:

@@ -69,7 +69,11 @@ def main():
         eoi_id=prompting.sptids_dict["<|eoi|>"],
         n_grid=tr.get("n_grid", 0),
         remat=config.model.get("gradient_checkpointing", False))
-    step = jax.jit(make_sft_train_step(cfg, vq_cfg, vs_cfg, tx, tcfg), donate_argnums=(0,))
+    # common_length is resolved against the first batch's mmu splice length
+    # below: when it covers the t2i/lm rows, all three flows run as ONE
+    # backbone call — the memory shape that fits flagship SFT on a 16GB chip
+    # (training/sft.py::loss_fused); otherwise separate per-length calls.
+    step = None
     state = init_train_state(params, tx)
     metrics_log = MetricLogger(config.experiment.output_dir)
 
@@ -148,6 +152,18 @@ def main():
             "mmu_pixels": jnp.asarray(mmu["images"]),
             "mmu_prompt_len": jnp.asarray(prompt_len),
         }
+        if step is None:
+            import dataclasses as _dc
+            mmu_len = part1.shape[1] + p_tokens + part2.shape[1]
+            tl_len = max(device_batch["t2i_template"].shape[1],
+                         device_batch["lm_ids"].shape[1])
+            common = int(mmu_len) if mmu_len >= tl_len else None
+            logger.info(f"SFT step mode: common_length={common} "
+                        f"(mmu {mmu_len}, t2i/lm {tl_len})")
+            step = jax.jit(
+                make_sft_train_step(cfg, vq_cfg, vs_cfg, tx,
+                                    _dc.replace(tcfg, common_length=common)),
+                donate_argnums=(0,))
         state, metrics = step(state, vq_params, vs_params, device_batch, sub)
         global_step += 1
         if global_step % config.experiment.get("log_every", 50) == 0:

@@ -84,6 +84,37 @@ def test_dpo_memory_efficient_logps_match_dense(mode):
                                    rtol=2e-5, atol=1e-6, err_msg=k)
 
 
+def test_dpo_precomputed_ref_matches_online():
+    """precomputed_ref mode (reference logps computed ahead by make_ref_logps_fn;
+    the frozen reference never resident during the step — the flagship
+    single-chip memory shape) follows the online path exactly for the same key."""
+    from unigen_tpu.training.dpo import make_ref_logps_fn
+
+    cfg, vq_cfg, params, ref_params, vq_params, batch = _dpo_fixture()
+    schedule = LRS.get_scheduler("constant")
+    key = jax.random.key(11)
+
+    tx = make_optimizer(params, 5e-4, schedule, max_grad_norm=1.0)
+    online = jax.jit(make_dpo_step(cfg, vq_cfg, tx, DPOConfig(beta=0.1)))
+    state_o = init_train_state(jax.tree_util.tree_map(jnp.copy, params), tx)
+    state_o, m_o = online(state_o, ref_params, vq_params, batch, key)
+
+    dcfg = DPOConfig(beta=0.1, precomputed_ref=True)
+    ref_fn = jax.jit(make_ref_logps_fn(cfg, vq_cfg, dcfg))
+    refs = ref_fn(ref_params, vq_params, batch, key)
+    pre = jax.jit(make_dpo_step(cfg, vq_cfg, tx, dcfg))
+    state_p = init_train_state(jax.tree_util.tree_map(jnp.copy, params), tx)
+    state_p, m_p = pre(state_p, None, vq_params, dict(batch, **refs), key)
+
+    for k in ("loss", "reward_accuracy", "policy_chosen_logps",
+              "policy_rejected_logps", "grad_norm"):
+        np.testing.assert_allclose(float(m_p[k]), float(m_o[k]), rtol=1e-5,
+                                   atol=1e-7, err_msg=k)
+    import chex
+    chex.assert_trees_all_close(state_p.params, state_o.params,
+                                rtol=1e-5, atol=1e-8)
+
+
 def test_dpo_step_learns_preference():
     cfg = U.UniGenConfig.tiny()
     vq_cfg = MV.MagvitConfig.tiny(resolution=8, z_channels=5)

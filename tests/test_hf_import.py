@@ -224,6 +224,88 @@ def test_sft_memory_efficient_loss_matches_dense():
                                    rtol=2e-5, err_msg=k)
 
 
+def test_sft_split_dispatch_matches_fused():
+    """make_sft_grad_fns (three separately-jitted programs, the single-chip
+    memory path) computes the same step as the fused make_sft_train_step."""
+    from unigen_tpu.training import lr_schedules as LRS
+    from unigen_tpu.training.optimizer import make_optimizer
+    from unigen_tpu.training.sft import (SFTStepConfig, make_sft_grad_fns,
+                                         make_sft_train_step)
+    from unigen_tpu.training.train_step import init_train_state
+
+    cfg, vq_cfg, vs_cfg, params, vq_params, vs_params, batch = _sft_fixture()
+    b = 2
+    schedule = LRS.get_scheduler("constant")
+    tx = make_optimizer(params, 1e-3, schedule)
+    tcfg = SFTStepConfig(batch_size_t2i=b, batch_size_lm=b, batch_size_mmu=b)
+    key = jax.random.key(3)
+
+    fused = jax.jit(make_sft_train_step(cfg, vq_cfg, vs_cfg, tx, tcfg))
+    state_f = init_train_state(jax.tree_util.tree_map(jnp.copy, params), tx)
+    state_f, m_f = fused(state_f, vq_params, vs_params, batch, key)
+
+    grad_tl, grad_mmu, apply_grads = make_sft_grad_fns(
+        cfg, vq_cfg, vs_cfg, tx, tcfg)
+    state_s = init_train_state(jax.tree_util.tree_map(jnp.copy, params), tx)
+    g1, aux1 = jax.jit(grad_tl)(state_s.params, vq_params, batch, key)
+    g2, aux2 = jax.jit(grad_mmu)(state_s.params, vs_params, batch)
+    state_s, m_s = jax.jit(apply_grads, donate_argnums=(0, 1, 2))(
+        state_s, g1, g2, aux1, aux2)
+
+    for k in ("loss", "loss_t2i", "loss_lm", "loss_mmu", "grad_norm",
+              "avg_masking_rate"):
+        np.testing.assert_allclose(float(m_s[k]), float(m_f[k]), rtol=1e-6,
+                                   err_msg=k)
+    import chex
+    # cross-program fp32 reduction reassociation: ~1e-10 absolute
+    chex.assert_trees_all_close(state_s.params, state_f.params,
+                                rtol=1e-5, atol=1e-8)
+    assert int(state_s.step) == int(state_f.step) == 1
+
+
+def test_sft_common_length_matches_separate():
+    """The fused common-length SFT step (left-padded t2i/lm rows, one backbone
+    call — the flagship single-chip memory shape) computes the same losses and
+    step as the separate per-length calls."""
+    from unigen_tpu.training import lr_schedules as LRS
+    from unigen_tpu.training.optimizer import make_optimizer
+    from unigen_tpu.training.sft import SFTStepConfig, make_sft_train_step
+    from unigen_tpu.training.train_step import init_train_state
+
+    cfg, vq_cfg, vs_cfg, params, vq_params, vs_params, batch = _sft_fixture()
+    b = 2
+    p = vs_cfg.num_patches
+    # lengthen the mmu conversation so the mmu splice (= common_length) covers
+    # the 28-token t2i/lm rows, as the flagship's 1344-vs-387 layout does
+    rng = np.random.default_rng(1)
+    part2_len = 30
+    mmu_len = 3 + p + part2_len
+    assert mmu_len >= batch["t2i_template"].shape[1]
+    labels = np.full((b, mmu_len), -100)
+    labels[:, -6:] = rng.integers(3, 100, size=(b, 6))
+    batch = dict(batch,
+                 mmu_part2=jnp.asarray(rng.integers(3, 100, size=(b, part2_len))),
+                 mmu_labels=jnp.asarray(labels),
+                 mmu_prompt_len=jnp.asarray([mmu_len, mmu_len - 2]))
+    schedule = LRS.get_scheduler("constant")
+    results = {}
+    for common in (mmu_len, None):
+        tx = make_optimizer(params, 1e-3, schedule)
+        tcfg = SFTStepConfig(batch_size_t2i=b, batch_size_lm=b, batch_size_mmu=b,
+                             common_length=common)
+        step = jax.jit(make_sft_train_step(cfg, vq_cfg, vs_cfg, tx, tcfg))
+        state = init_train_state(jax.tree_util.tree_map(jnp.copy, params), tx)
+        state, metrics = step(state, vq_params, vs_params, batch, jax.random.key(5))
+        results[common] = ({k: float(v) for k, v in metrics.items()}, state.params)
+    for k in ("loss", "loss_t2i", "loss_lm", "loss_mmu", "grad_norm",
+              "avg_masking_rate"):
+        np.testing.assert_allclose(results[mmu_len][0][k], results[None][0][k],
+                                   rtol=2e-5, err_msg=k)
+    import chex
+    chex.assert_trees_all_close(results[mmu_len][1], results[None][1],
+                                rtol=1e-4, atol=1e-7)
+
+
 def test_grid_tiles():
     from unigen_tpu.training.sft import grid_tiles
     px = jnp.arange(2 * 8 * 8 * 3, dtype=jnp.float32).reshape(2, 8, 8, 3)

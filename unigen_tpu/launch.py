@@ -212,7 +212,17 @@ def build_unigen(config: Config, prompting: UniPrompting, dtype=None
 
 def build_vq(config: Config, dtype=None) -> Tuple[Any, magvit.MagvitConfig]:
     import jax.numpy as jnp
-    cfg = magvit.MagvitConfig(dtype=dtype or jnp.bfloat16)
+    # optional size overrides from model.vq_model (smoke tests / scaled-down runs,
+    # same idea as the LLM overrides in build_unigen_config)
+    vcfg = config.model.get("vq_model", {})
+    kw = {}
+    for k in ("ch", "enc_ch_mult", "enc_num_res_blocks", "dec_ch_mult",
+              "dec_num_res_blocks", "attn_resolutions", "resolution",
+              "z_channels"):
+        v = vcfg.get(k)
+        if v is not None:
+            kw[k] = tuple(v) if isinstance(v, (list, tuple)) else int(v)
+    cfg = magvit.MagvitConfig(dtype=dtype or jnp.bfloat16, **kw)
     path = real_checkpoint(config.model.vq_model.get("vq_model_name", "magvitv2"),
                            config.model.get("ckpt_base_path", ""))
     if os.path.isdir(path):

@@ -219,6 +219,7 @@ def forward(
     remat: bool = False,
     memory_efficient_loss: bool = False,
     return_hidden: bool = False,
+    positions: Optional[Array] = None,   # [B, L] RoPE positions (left-pad aware)
 ):
     """Unified forward (reference: unigen.py:240-342).
 
@@ -245,7 +246,8 @@ def forward(
                 (0, input_embeddings.shape[1] - n - 1, 0))
 
     hidden, _ = qwen2.forward(params["llm"], cfg.llm, inputs_embeds=input_embeddings,
-                              mask=attention_mask, meta=attn_meta, remat=remat)
+                              mask=attention_mask, meta=attn_meta, remat=remat,
+                              positions=positions)
 
     if return_hidden:
         return hidden

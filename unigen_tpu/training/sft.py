@@ -44,6 +44,11 @@ def grid_tiles(pixels: Array, n_grid: int, tile_size: int) -> Array:
 @dataclasses.dataclass(frozen=True)
 class SFTStepConfig(TrainStepConfig):
     n_grid: int = 0            # 0 = single 384px view
+    # When set (to the mmu splice length), t2i/lm rows are LEFT-padded to this
+    # length and all three flows run as ONE backbone call with a single
+    # backward layer-scan — the memory shape that fits flagship SFT on one
+    # 16GB chip (see loss_fused). None = separate per-length calls.
+    common_length: "int | None" = None
 
 
 def make_sft_train_step(
@@ -98,10 +103,25 @@ def make_sft_train_step(
             return feats.reshape(b, -1, feats.shape[-1])  # concat tiles along patches
         return siglip.forward(vision_params, vision_cfg, pixels)
 
-    def loss_fn(params, vq_params, vision_params, batch, key):
-        losses = {}
-        total = jnp.zeros((), jnp.float32)
+    def build_tl_inputs(vq_params, batch, key, target_len=None):
+        """ids/labels/masks for the t2i and lm flows; with ``target_len`` the
+        rows are LEFT-padded to it before mask construction (left padding keeps
+        the trailing VQ block at the tail, so the t2i loss/gen-projector slicing
+        is unchanged; pad positions are masked out of attention and carry -100
+        labels, so losses are exactly those of the unpadded rows)."""
+        parts, labs_parts, masks = [], [], []
+        bt = bl = 0
         mask_prob = jnp.zeros((1,), jnp.float32)
+
+        def pad_to(ids, labs):
+            if target_len is None:
+                return ids, labs
+            p = target_len - ids.shape[1]
+            if p < 0:
+                raise ValueError(f"common_length {target_len} < row length "
+                                 f"{ids.shape[1]}")
+            return (jnp.pad(ids, ((0, 0), (p, 0)), constant_values=tcfg.pad_id),
+                    jnp.pad(labs, ((0, 0), (p, 0)), constant_values=-100))
 
         if tcfg.batch_size_t2i > 0:
             codes = magvit.get_code(vq_params, vq_cfg, batch["t2i_pixels"])
@@ -117,59 +137,236 @@ def make_sft_train_step(
                           batch["t2i_template"].shape[1] - n - 1)
             labs = _splice(batch["t2i_labels"], img_lab,
                            batch["t2i_labels"].shape[1] - n - 1)
+            ids, labs = pad_to(ids, labs)
             att = M.create_attention_mask_predict_next(
                 ids, tcfg.pad_id, tcfg.soi_id, tcfg.eoi_id, rm_pad_in_image=True)
-            _, lt, _, _ = unigen.forward(params, cfg, input_ids=ids,
-                                         attention_mask=att, labels=labs,
-                                         batch_size_t2i=ids.shape[0],
-                                         t2i_mode=tcfg.t2i_gen_mode, remat=tcfg.remat,
-                                         memory_efficient_loss=tcfg.memory_efficient_loss)
-            losses["loss_t2i"] = lt
-            total = total + tcfg.t2i_coeff * lt
+            parts.append(ids)
+            labs_parts.append(labs)
+            masks.append(att)
+            bt = ids.shape[0]
             mask_prob = masked.mask_prob
 
         if tcfg.batch_size_lm > 0:
-            ids = batch["lm_ids"]
+            ids, labs = pad_to(batch["lm_ids"], batch["lm_labels"])
+            off = ids.shape[1] - batch["lm_ids"].shape[1]
+            if off:
+                # the pad→first-real-token pair is not a real next-token pair:
+                # unpadded CE never scores label[0] (it is only ever an input)
+                labs = labs.at[:, off].set(-100)
             att = M.causal_mask_from_attention((ids != tcfg.pad_id).astype(jnp.int32))
-            _, _, ll, _ = unigen.forward(params, cfg, input_ids=ids,
-                                         attention_mask=att, labels=batch["lm_labels"],
-                                         batch_size_lm=ids.shape[0], remat=tcfg.remat,
-                                         memory_efficient_loss=tcfg.memory_efficient_loss)
-            losses["loss_lm"] = ll
-            total = total + tcfg.lm_coeff * ll
+            parts.append(ids)
+            labs_parts.append(labs)
+            masks.append(att)
+            bl = ids.shape[0]
+        return parts, labs_parts, masks, bt, bl, mask_prob
 
-        if tcfg.batch_size_mmu > 0:
-            feats = vision_features(vision_params, batch)
-            img_embeds = unigen.mm_project(params, feats)
-            e1 = unigen.embed_tokens(params, batch["mmu_part1"])
-            e2 = unigen.embed_tokens(params, batch["mmu_part2"])
-            embeds = jnp.concatenate([e1, img_embeds.astype(e1.dtype), e2], axis=1)
-            b, l, _ = embeds.shape
-            att = M.create_attention_mask_for_mmu_vit(
-                b, l,
-                num_tokens=(batch["mmu_spatial_shapes"] if naflex
-                            else img_embeds.shape[1]),
-                prefix_length=batch["mmu_part1"].shape[1])
-            keep = jnp.arange(l)[None] < batch["mmu_prompt_len"][:, None]
-            att = att & keep[:, None, None, :] & keep[:, None, :, None]
-            _, _, _, lm = unigen.forward(params, cfg, input_ids=None,
-                                         input_embeddings=embeds, attention_mask=att,
-                                         labels=batch["mmu_labels"],
-                                         batch_size_mmu=b, remat=tcfg.remat,
-                                         memory_efficient_loss=tcfg.memory_efficient_loss)
-            losses["loss_mmu"] = lm
-            total = total + tcfg.mmu_coeff * lm
+    def build_mmu_inputs(params, vision_params, batch):
+        """Spliced [part1 | vision embeds | part2] inputs + mask for the mmu flow."""
+        feats = vision_features(vision_params, batch)
+        img_embeds = unigen.mm_project(params, feats)
+        e1 = unigen.embed_tokens(params, batch["mmu_part1"])
+        e2 = unigen.embed_tokens(params, batch["mmu_part2"])
+        embeds = jnp.concatenate([e1, img_embeds.astype(e1.dtype), e2], axis=1)
+        b, l, _ = embeds.shape
+        att = M.create_attention_mask_for_mmu_vit(
+            b, l,
+            num_tokens=(batch["mmu_spatial_shapes"] if naflex
+                        else img_embeds.shape[1]),
+            prefix_length=batch["mmu_part1"].shape[1])
+        keep = jnp.arange(l)[None] < batch["mmu_prompt_len"][:, None]
+        att = att & keep[:, None, None, :] & keep[:, None, :, None]
+        return embeds, att, batch["mmu_labels"]
 
-        losses["loss"] = total
+    def loss_tl(params, vq_params, batch, key):
+        """Weighted t2i + lm loss. The two flows share a sequence length, so
+        they run as ONE backbone call (like the pretraining step): each extra
+        backward-through-the-layer-scan allocates its own stacked param-gradient
+        accumulator set (~1.2GB of [28, ...]-shaped zero buffers at 1.5B)."""
+        losses = {}
+        total = jnp.zeros((), jnp.float32)
+        parts, labs_parts, masks, bt, bl, mask_prob = build_tl_inputs(
+            vq_params, batch, key)
+        if parts:
+            if len(parts) > 1 and parts[0].shape[1] != parts[1].shape[1]:
+                raise ValueError(
+                    f"t2i seq {parts[0].shape[1]} != lm seq {parts[1].shape[1]}: "
+                    "the fused t2i+lm forward needs equal lengths — pad the "
+                    "shorter flow in the loader, or set common_length")
+            _, lt, ll, _ = unigen.forward(
+                params, cfg, input_ids=jnp.concatenate(parts, axis=0),
+                attention_mask=jnp.concatenate(masks, axis=0),
+                labels=jnp.concatenate(labs_parts, axis=0),
+                batch_size_t2i=bt, batch_size_lm=bl,
+                t2i_mode=tcfg.t2i_gen_mode, remat=tcfg.remat,
+                memory_efficient_loss=tcfg.memory_efficient_loss)
+            if bt:
+                losses["loss_t2i"] = lt
+                total = total + tcfg.t2i_coeff * lt
+            if bl:
+                losses["loss_lm"] = ll
+                total = total + tcfg.lm_coeff * ll
         losses["avg_masking_rate"] = mask_prob.mean()
         return total, losses
 
+    def loss_mmu(params, vision_params, batch):
+        """Weighted mmu (vision-tower conversation) loss at its own length."""
+        embeds, att, labels = build_mmu_inputs(params, vision_params, batch)
+        _, _, _, lm = unigen.forward(params, cfg, input_ids=None,
+                                     input_embeddings=embeds, attention_mask=att,
+                                     labels=labels,
+                                     batch_size_mmu=embeds.shape[0],
+                                     remat=tcfg.remat,
+                                     memory_efficient_loss=tcfg.memory_efficient_loss)
+        return tcfg.mmu_coeff * lm, {"loss_mmu": lm}
+
+    def loss_fused(params, vq_params, vision_params, batch, key):
+        """All three flows in ONE backbone call at ``tcfg.common_length``.
+
+        One fused program with two different-length backbone calls must hold
+        the optimizer state plus TWO stacked-gradient trees, which exceeds a
+        16GB chip at 1.5B no matter the batch (BENCH.md training section).
+        Left-padding the short t2i/lm rows up to the mmu length costs extra
+        pad-token FLOPs (~55% at the reference's 387-vs-1344 lengths) but
+        keeps a single backward layer-scan — the configuration that actually
+        fits. Losses are exactly the separate-mode losses
+        (tests/test_hf_import.py::test_sft_common_length_matches_separate)."""
+        Lc = tcfg.common_length
+        parts, labs_parts, masks, bt, bl, mask_prob = build_tl_inputs(
+            vq_params, batch, key, target_len=Lc)
+        mmu_embeds, mmu_att, mmu_labels = build_mmu_inputs(
+            params, vision_params, batch)
+        if mmu_embeds.shape[1] != Lc:
+            raise ValueError(f"common_length {Lc} != mmu splice length "
+                             f"{mmu_embeds.shape[1]}")
+        embeds = []
+        if bt:
+            embeds.append(unigen.prepare_inputs_for_t2i(params, cfg, parts[0]))
+        if bl:
+            embeds.append(unigen.embed_tokens(params, parts[-1]))
+        embeds.append(mmu_embeds)
+        embeds = jnp.concatenate([e.astype(mmu_embeds.dtype) for e in embeds],
+                                 axis=0)
+        labels = jnp.concatenate(labs_parts + [mmu_labels], axis=0)
+        att = jnp.concatenate(masks + [mmu_att], axis=0)
+        bm = mmu_embeds.shape[0]
+        # RoPE positions: left-padded rows must rotate their REAL tokens at the
+        # positions they'd have unpadded (0..len-1), or the fused losses diverge
+        # from the separate-call ones; pad slots clamp to 0 (masked out anyway)
+        pos = []
+        if bt:
+            off = Lc - batch["t2i_template"].shape[1]
+            pos.append(jnp.broadcast_to(
+                jnp.maximum(0, jnp.arange(Lc) - off)[None], (bt, Lc)))
+        if bl:
+            off = Lc - batch["lm_ids"].shape[1]
+            pos.append(jnp.broadcast_to(
+                jnp.maximum(0, jnp.arange(Lc) - off)[None], (bl, Lc)))
+        pos.append(jnp.broadcast_to(jnp.arange(Lc)[None], (bm, Lc)))
+        _, lt, ll, lmu = unigen.forward(
+            params, cfg, input_ids=None, input_embeddings=embeds,
+            attention_mask=att, labels=labels,
+            batch_size_t2i=bt, batch_size_lm=bl, batch_size_mmu=bm,
+            t2i_mode=tcfg.t2i_gen_mode, remat=tcfg.remat,
+            memory_efficient_loss=tcfg.memory_efficient_loss,
+            positions=jnp.concatenate(pos, axis=0))
+        losses = {"avg_masking_rate": mask_prob.mean()}
+        total = tcfg.mmu_coeff * lmu
+        losses["loss_mmu"] = lmu
+        if bt:
+            losses["loss_t2i"] = lt
+            total = total + tcfg.t2i_coeff * lt
+        if bl:
+            losses["loss_lm"] = ll
+            total = total + tcfg.lm_coeff * ll
+        return total, losses
+
     def sft_step(state: TrainState, vq_params, vision_params, batch, key):
-        (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params, vq_params, vision_params, batch, key)
+        params = state.params
+        metrics = {}
+        total = jnp.zeros((), jnp.float32)
+        grads = None
+        if tcfg.common_length is not None and tcfg.batch_size_mmu > 0 and (
+                tcfg.batch_size_t2i > 0 or tcfg.batch_size_lm > 0):
+            (total, m), grads = jax.value_and_grad(loss_fused, has_aux=True)(
+                params, vq_params, vision_params, batch, key)
+            metrics.update(m)
+        else:
+            if tcfg.batch_size_t2i > 0 or tcfg.batch_size_lm > 0:
+                (l1, m1), grads = jax.value_and_grad(loss_tl, has_aux=True)(
+                    params, vq_params, batch, key)
+                metrics.update(m1)
+                total = total + l1
+            if tcfg.batch_size_mmu > 0:
+                (l2, m2), g2 = jax.value_and_grad(loss_mmu, has_aux=True)(
+                    params, vision_params, batch)
+                metrics.update(m2)
+                total = total + l2
+                grads = g2 if grads is None else jax.tree_util.tree_map(
+                    jnp.add, grads, g2)
+        metrics["loss"] = total
+        metrics.setdefault("avg_masking_rate", jnp.zeros(()))
         metrics["grad_norm"] = optax.global_norm(grads)
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
         return TrainState(new_params, new_opt, state.step + 1), metrics
 
+    sft_step.loss_tl = loss_tl
+    sft_step.loss_mmu = loss_mmu
     return sft_step
+
+
+def make_sft_grad_fns(
+    cfg: UniGenConfig,
+    vq_cfg: magvit.MagvitConfig,
+    vision_cfg,
+    tx: optax.GradientTransformation,
+    tcfg: SFTStepConfig,
+):
+    """The SFT step as three separately-jittable programs for memory-tight
+    single-chip runs.
+
+    One fused program must hold the optimizer state (~9.3GB at 1.5B in bf16)
+    PLUS two stacked-gradient trees — one from the t2i+lm backward layer-scan
+    and one from the mmu backward at its longer sequence (~3.1GB each) — which
+    exceeds a 16GB v5e chip at ANY batch size (measured: 16.27G needed, and
+    the fixed costs dominate — see BENCH.md training section). Splitting the
+    dispatch keeps at most state + ONE gradient set + apply temps resident:
+
+        g1, aux1 = jit(grad_tl)(state.params, vq_params, batch, key)
+        g2, aux2 = jit(grad_mmu)(state.params, vision_params, batch)
+        state, metrics = jit(apply_grads, donate_argnums=(0, 1, 2))(
+            state, g1, g2, aux1, aux2)
+
+    Gradient-of-sum == sum-of-gradients, so this matches make_sft_train_step
+    exactly (tests/test_hf_import.py::test_sft_split_dispatch_matches_fused);
+    the extra dispatches cost only relay/host latency (~ms) per step. Use the
+    fused step for sharded multi-chip runs where HBM is not the constraint.
+    """
+    if not (tcfg.batch_size_t2i > 0 or tcfg.batch_size_lm > 0) or \
+            not tcfg.batch_size_mmu > 0:
+        raise ValueError("split dispatch needs both task groups; use "
+                         "make_sft_train_step when one group is empty")
+    step = make_sft_train_step(cfg, vq_cfg, vision_cfg, tx, tcfg)
+
+    def grad_tl(params, vq_params, batch, key):
+        (l1, m1), g1 = jax.value_and_grad(step.loss_tl, has_aux=True)(
+            params, vq_params, batch, key)
+        return g1, (l1, m1)
+
+    def grad_mmu(params, vision_params, batch):
+        (l2, m2), g2 = jax.value_and_grad(step.loss_mmu, has_aux=True)(
+            params, vision_params, batch)
+        return g2, (l2, m2)
+
+    def apply_grads(state: TrainState, g1, g2, aux1, aux2):
+        l1, m1 = aux1
+        l2, m2 = aux2
+        grads = jax.tree_util.tree_map(jnp.add, g1, g2)
+        metrics = {**m1, **m2, "loss": l1 + l2}
+        metrics.setdefault("avg_masking_rate", jnp.zeros(()))
+        metrics["grad_norm"] = optax.global_norm(grads)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        return TrainState(new_params, new_opt, state.step + 1), metrics
+
+    return grad_tl, grad_mmu, apply_grads
