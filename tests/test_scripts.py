@@ -1,0 +1,62 @@
+"""End-to-end smokes of the training ENTRY POINTS as subprocesses.
+
+The reference ships train/train_w_clip_vit/train_dpo as directly-launched
+scripts (reference: training/*.py __main__); these tests run this repo's
+counterparts the same way a user would — config YAML + dotted overrides,
+synthetic data, random-init models at toy widths (configs/tiny/smoke_*.yaml)
+— and assert the full wiring works: config parsing -> launch builders (with
+the vq/vision-tower size overrides) -> prompting -> train loop -> metrics
+JSONL -> checkpoint on disk.
+"""
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _run_script(script, config, out_dir, extra=()):
+    env = dict(os.environ, JAX_PLATFORMS="cpu",
+               XLA_FLAGS="--xla_force_host_platform_device_count=1")
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", script),
+         f"config={config}", f"experiment.output_dir={out_dir}", *extra],
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=900)
+    assert r.returncode == 0, f"{script} failed:\n{r.stdout[-2000:]}\n{r.stderr[-4000:]}"
+    return r
+
+
+def _assert_trained(out_dir, min_steps=2):
+    metrics_path = os.path.join(out_dir, "metrics.jsonl")
+    assert os.path.exists(metrics_path), os.listdir(out_dir)
+    rows = [json.loads(l) for l in open(metrics_path)]
+    assert len(rows) >= 1
+    assert all("loss" in r for r in rows)
+    ckpts = [d for d in os.listdir(out_dir) if d.startswith("checkpoint")]
+    assert ckpts, os.listdir(out_dir)
+
+
+@pytest.mark.slow
+def test_train_entry_smoke(tmp_path):
+    out = str(tmp_path / "pt2")
+    _run_script("train.py", "configs/tiny/smoke_pt2.yaml", out)
+    _assert_trained(out)
+
+
+@pytest.mark.slow
+def test_train_sft_entry_smoke(tmp_path):
+    out = str(tmp_path / "sft")
+    r = _run_script("train_sft.py", "configs/tiny/smoke_sft.yaml", out)
+    # the script resolves the fused-vs-separate step mode from the first batch
+    assert "common_length" in r.stderr + r.stdout
+    _assert_trained(out)
+
+
+@pytest.mark.slow
+def test_train_dpo_entry_smoke(tmp_path):
+    out = str(tmp_path / "dpo")
+    _run_script("train_dpo.py", "configs/tiny/smoke_dpo.yaml", out)
+    _assert_trained(out)

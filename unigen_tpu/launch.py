@@ -236,14 +236,23 @@ def build_vq(config: Config, dtype=None) -> Tuple[Any, magvit.MagvitConfig]:
 
 
 def build_vision_tower(config: Config, dtype=None):
-    name = config.model.get("vision_tower", {}).get("name")
+    vt = config.model.get("vision_tower", {})
+    name = vt.get("name")
     if not name:
         return None, None
+    import dataclasses
+
     import jax.numpy as jnp
     mod, cfg = get_vision_tower_config(name)
     if dtype is not None:
-        import dataclasses
         cfg = dataclasses.replace(cfg, dtype=dtype)
+    # optional size overrides (smoke tests / scaled-down runs)
+    overrides = {k: int(vt[k]) for k in
+                 ("hidden_size", "intermediate_size", "num_hidden_layers",
+                  "num_attention_heads", "image_size", "patch_size")
+                 if vt.get(k) is not None and hasattr(cfg, k)}
+    if overrides:
+        cfg = dataclasses.replace(cfg, **overrides)
     path = real_checkpoint(name, config.model.get("ckpt_base_path", ""))
     if os.path.isdir(path):
         logger.info(f"loading vision tower weights from {path}")
