@@ -263,10 +263,11 @@ def test_sft_split_dispatch_matches_fused():
     assert int(state_s.step) == int(state_f.step) == 1
 
 
-def test_sft_common_length_matches_separate():
-    """The fused common-length SFT step (left-padded t2i/lm rows, one backbone
-    call — the flagship single-chip memory shape) computes the same losses and
-    step as the separate per-length calls."""
+@pytest.mark.parametrize("pack", [False, True])
+def test_sft_common_length_matches_separate(pack):
+    """Both fused common-length SFT modes — left-padded rows (pack=False) and
+    sequence-packed rows (pack=True, 2 segments/row here) — compute the same
+    losses and step as the separate per-length calls."""
     from unigen_tpu.training import lr_schedules as LRS
     from unigen_tpu.training.optimizer import make_optimizer
     from unigen_tpu.training.sft import SFTStepConfig, make_sft_train_step
@@ -276,11 +277,11 @@ def test_sft_common_length_matches_separate():
     b = 2
     p = vs_cfg.num_patches
     # lengthen the mmu conversation so the mmu splice (= common_length) covers
-    # the 28-token t2i/lm rows, as the flagship's 1344-vs-387 layout does
+    # TWO 28-token t2i/lm segments per row, like the flagship's 1344-vs-387
     rng = np.random.default_rng(1)
-    part2_len = 30
+    part2_len = 50
     mmu_len = 3 + p + part2_len
-    assert mmu_len >= batch["t2i_template"].shape[1]
+    assert mmu_len >= 2 * batch["t2i_template"].shape[1]
     labels = np.full((b, mmu_len), -100)
     labels[:, -6:] = rng.integers(3, 100, size=(b, 6))
     batch = dict(batch,
@@ -292,7 +293,7 @@ def test_sft_common_length_matches_separate():
     for common in (mmu_len, None):
         tx = make_optimizer(params, 1e-3, schedule)
         tcfg = SFTStepConfig(batch_size_t2i=b, batch_size_lm=b, batch_size_mmu=b,
-                             common_length=common)
+                             common_length=common, pack_rows=pack)
         step = jax.jit(make_sft_train_step(cfg, vq_cfg, vs_cfg, tx, tcfg))
         state = init_train_state(jax.tree_util.tree_map(jnp.copy, params), tx)
         state, metrics = step(state, vq_params, vs_params, batch, jax.random.key(5))

@@ -49,6 +49,12 @@ class SFTStepConfig(TrainStepConfig):
     # backward layer-scan — the memory shape that fits flagship SFT on one
     # 16GB chip (see loss_fused). None = separate per-length calls.
     common_length: "int | None" = None
+    # With common_length set, additionally SEQUENCE-PACK the short t2i/lm rows
+    # (several 387-token segments per 1344-token row, block-diagonal attention,
+    # per-segment RoPE restart) instead of padding each row: 8 rows × 1344
+    # tokens become 6, removing ~70% of the pad-token FLOPs (see loss_packed).
+    # Falls back to plain left-padding for ar-mode t2i or a gen projector.
+    pack_rows: bool = True
 
 
 def make_sft_train_step(
@@ -280,6 +286,95 @@ def make_sft_train_step(
             total = total + tcfg.lm_coeff * ll
         return total, losses
 
+    def loss_packed(params, vq_params, vision_params, batch, key):
+        """Sequence-packed variant of loss_fused: instead of left-padding each
+        387-token t2i/lm row to the 1344-token mmu length (64% pad FLOPs), pack
+        ``common_length // row_length`` same-flow segments per row with
+        block-diagonal attention and per-segment RoPE positions — at the
+        reference's SFT shapes, 8×1344 backbone tokens become 6×1344 (86%
+        useful). Per-flow losses come from label-driven chunked CE over the
+        packed rows: the t2i labels are -100 outside each segment's VQ block,
+        so full-row UNSHIFTED CE equals the reference's block-sliced CE
+        (mask mode only); lm/mmu use the shifted CE with each segment's first
+        label dropped (never a real next-token target). Exactness:
+        tests/test_hf_import.py::test_sft_packed_matches_separate."""
+        from ..models import qwen2
+        from ..models.unigen import _chunked_ce
+
+        Lc = tcfg.common_length
+        parts, labs_parts, masks, bt, bl, mask_prob = build_tl_inputs(
+            vq_params, batch, key)
+        mmu_embeds, mmu_att, mmu_labels = build_mmu_inputs(
+            params, vision_params, batch)
+        if mmu_embeds.shape[1] != Lc:
+            raise ValueError(f"common_length {Lc} != mmu splice length "
+                             f"{mmu_embeds.shape[1]}")
+
+        def pack(ids_r, labs_r, mask_r):
+            r, ls = ids_r.shape
+            segs = max(1, Lc // ls)
+            p_rows = -(-r // segs)
+            ids_p = jnp.full((p_rows, Lc), tcfg.pad_id, ids_r.dtype)
+            labs_p = jnp.full((p_rows, Lc), -100, labs_r.dtype)
+            att_p = jnp.zeros((p_rows, 1, Lc, Lc), bool)
+            pos_p = jnp.zeros((p_rows, Lc), jnp.int32)
+            for i in range(r):
+                pr, slot = divmod(i, segs)
+                o = slot * ls
+                ids_p = ids_p.at[pr, o:o + ls].set(ids_r[i])
+                labs_p = labs_p.at[pr, o:o + ls].set(labs_r[i])
+                att_p = att_p.at[pr, 0, o:o + ls, o:o + ls].set(mask_r[i, 0])
+                pos_p = pos_p.at[pr, o:o + ls].set(jnp.arange(ls))
+            return ids_p, labs_p, att_p, pos_p
+
+        embeds, atts, poss = [], [], []
+        rt = rl = 0
+        t2i_labs_p = lm_labs_p = None
+        if bt:
+            ids_p, t2i_labs_p, att_p, pos_p = pack(parts[0], labs_parts[0],
+                                                   masks[0])
+            embeds.append(unigen.embed_tokens(params, ids_p))
+            atts.append(att_p)
+            poss.append(pos_p)
+            rt = ids_p.shape[0]
+        if bl:
+            # a segment's first label is never a real next-token target (the
+            # preceding position is another segment's tail or padding)
+            lm_labs = labs_parts[-1].at[:, 0].set(-100)
+            ids_p, lm_labs_p, att_p, pos_p = pack(parts[-1], lm_labs,
+                                                  masks[-1])
+            embeds.append(unigen.embed_tokens(params, ids_p))
+            atts.append(att_p)
+            poss.append(pos_p)
+            rl = ids_p.shape[0]
+        bm = mmu_embeds.shape[0]
+        embeds.append(mmu_embeds)
+        atts.append(mmu_att)
+        poss.append(jnp.broadcast_to(jnp.arange(Lc)[None], (bm, Lc)))
+
+        hidden, _ = qwen2.forward(
+            params["llm"], cfg.llm,
+            inputs_embeds=jnp.concatenate(
+                [e.astype(mmu_embeds.dtype) for e in embeds], axis=0),
+            mask=jnp.concatenate(atts, axis=0),
+            positions=jnp.concatenate(poss, axis=0), remat=tcfg.remat)
+        w = qwen2.lm_head_weight(params["llm"], cfg.llm)
+
+        losses = {"avg_masking_rate": mask_prob.mean()}
+        total = jnp.zeros((), jnp.float32)
+        if bt:
+            lt = _chunked_ce(hidden[:rt], w, t2i_labs_p)       # unshifted
+            losses["loss_t2i"] = lt
+            total = total + tcfg.t2i_coeff * lt
+        if bl:
+            ll = _chunked_ce(hidden[rt:rt + rl, :-1], w, lm_labs_p[:, 1:])
+            losses["loss_lm"] = ll
+            total = total + tcfg.lm_coeff * ll
+        lmu = _chunked_ce(hidden[rt + rl:, :-1], w, mmu_labels[:, 1:])
+        losses["loss_mmu"] = lmu
+        total = total + tcfg.mmu_coeff * lmu
+        return total, losses
+
     def sft_step(state: TrainState, vq_params, vision_params, batch, key):
         params = state.params
         metrics = {}
@@ -287,7 +382,10 @@ def make_sft_train_step(
         grads = None
         if tcfg.common_length is not None and tcfg.batch_size_mmu > 0 and (
                 tcfg.batch_size_t2i > 0 or tcfg.batch_size_lm > 0):
-            (total, m), grads = jax.value_and_grad(loss_fused, has_aux=True)(
+            packable = (tcfg.pack_rows and tcfg.t2i_gen_mode == "mask"
+                        and not cfg.use_gen_projector)
+            fused = loss_packed if packable else loss_fused
+            (total, m), grads = jax.value_and_grad(fused, has_aux=True)(
                 params, vq_params, vision_params, batch, key)
             metrics.update(m)
         else:
