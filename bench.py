@@ -523,8 +523,8 @@ def bench_train(mode: str = "pt2", steps: int = 20, tiny: bool = False,
                                            ref_fn(params, vq_params, batch, k))
                     for k in all_keys]
             print(f"[bench] dpo ref precompute ({steps + 1} batches): "
-                  f"{time.perf_counter() - t0:.1f}s (one-time per epoch; "
-                  "reused across epochs)", file=sys.stderr)
+                  f"{time.perf_counter() - t0:.1f}s (forward-only pass, one "
+                  "per training step, paid up front)", file=sys.stderr)
             calls = {"i": 0}
 
             def run(state, k):

@@ -98,7 +98,12 @@ def main():
 
     def step_schedule():
         """(device_batch, masking key) pairs; deterministic, so the reference
-        precompute pass and the training pass see identical masking draws."""
+        precompute pass and the training pass see identical batches and
+        masking draws. Prompting keeps a stateful host RNG for conditioning
+        dropout — re-seed it at the start of EVERY pass or the two passes
+        would draw different dropout masks and the cached reference logps
+        would silently describe different inputs."""
+        prompting.rng = np.random.default_rng(tr.get("seed", 10084))
         key, gs = start_key, 0
         for batch in batches():
             if max_steps and gs >= max_steps:
@@ -113,14 +118,24 @@ def main():
             }, sub
             gs += 1
 
+    def batch_fingerprint(db):
+        """Cheap content check that the training pass sees the precompute
+        pass's batch k at step k — the dataset skips unreadable images
+        (nothrow), so a transient IO failure in one pass would otherwise
+        silently shift every later batch against its cached reference."""
+        return (int(np.asarray(db["template"]).sum()),
+                float(np.asarray(db["chosen_pixels"]).sum()),
+                float(np.asarray(db["rejected_pixels"]).sum()))
+
     ref_cache = None
     if use_precomputed:
         import time as _time
         from unigen_tpu.training.dpo import make_ref_logps_fn
         ref_fn = jax.jit(make_ref_logps_fn(cfg, vq_cfg, dcfg))
         t0 = _time.time()
-        ref_cache = [jax.tree_util.tree_map(np.asarray,
-                                            ref_fn(params, vq_params, db, sub))
+        ref_cache = [(batch_fingerprint(db),
+                      jax.tree_util.tree_map(np.asarray,
+                                             ref_fn(params, vq_params, db, sub)))
                      for db, sub in step_schedule()]
         logger.info(f"precomputed reference logps for {len(ref_cache)} steps "
                     f"in {_time.time() - t0:.1f}s (forward-only pass; the "
@@ -129,7 +144,18 @@ def main():
     global_step = 0
     for device_batch, sub in step_schedule():
         if use_precomputed:
-            device_batch = {**device_batch, **ref_cache[global_step]}
+            if global_step >= len(ref_cache):
+                raise RuntimeError(
+                    f"training pass yielded more steps than the reference "
+                    f"precompute pass ({len(ref_cache)}) — the dataset did "
+                    "not replay identically (transient data error?)")
+            fp, refs = ref_cache[global_step]
+            if fp != batch_fingerprint(device_batch):
+                raise RuntimeError(
+                    f"step {global_step}: batch does not match the reference "
+                    "precompute pass — the dataset did not replay identically "
+                    "(transient data error?); rerun or disable precompute_ref")
+            device_batch = {**device_batch, **refs}
         state, metrics = step(state, ref_params, vq_params, device_batch, sub)
         global_step += 1
         if global_step % config.experiment.get("log_every", 20) == 0:

@@ -159,6 +159,12 @@ def _sft_fixture():
     t2i_template[:, -n - 2] = 1
     t2i_template[:, -n - 1:-1] = 0
     t2i_template[:, -1] = 2
+    # real prompting emits soi/eoi LABELS outside the scored VQ-block slice
+    # (prompting.py::t2i_prompt) — keep them in the fixture so any loss path
+    # that scores beyond the slice diverges visibly
+    t2i_labels = np.full((b, L), -100)
+    t2i_labels[:, -n - 2] = 1
+    t2i_labels[:, -1] = 2
     p = vs_cfg.num_patches  # 4 patches at 28px/14
     part1 = rng.integers(3, 100, size=(b, 3))
     part2 = rng.integers(3, 100, size=(b, 8))
@@ -166,7 +172,7 @@ def _sft_fixture():
     labels[:, -4:] = rng.integers(3, 100, size=(b, 4))
     batch = {
         "t2i_template": jnp.asarray(t2i_template),
-        "t2i_labels": jnp.full((b, L), -100, jnp.int32),
+        "t2i_labels": jnp.asarray(t2i_labels, dtype=jnp.int32),
         "t2i_pixels": jnp.asarray(rng.normal(size=(b, 8, 8, 3)), jnp.float32),
         "lm_ids": jnp.asarray(rng.integers(3, 100, size=(b, L))),
         "lm_labels": jnp.asarray(rng.integers(3, 100, size=(b, L))),

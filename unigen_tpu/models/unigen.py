@@ -168,15 +168,20 @@ def _cross_entropy(logits: Array, labels: Array, ignore_id: int = -100) -> Array
     return total / count
 
 
-def _chunked_ce(hidden: Array, w: Array, labels: Array, ignore_id: int = -100,
-                chunk: int = 64) -> Array:
-    """Mean CE projecting hidden -> vocab chunk-by-chunk along the sequence.
+def _chunked_label_logps(hidden: Array, w: Array, labels: Array, *,
+                         ignore_id: int = -100, chunk: int = 64,
+                         per_row: bool = False):
+    """(sum of label log-probs, valid count) projecting hidden -> vocab
+    chunk-by-chunk along the sequence; scalar totals, or per-row with
+    ``per_row``.
 
     The unified 160k vocabulary makes full [B, L, V] fp32 logits the dominant
     training allocation (SURVEY.md §7 hard part 3: ~1.25GB per 5x391 batch on
-    one chip); scanning sequence chunks with rematerialization keeps peak logits
-    memory at [B, chunk, V] while matching ``_cross_entropy`` exactly (fp32
-    accumulation of per-position NLL sums and counts)."""
+    one chip); scanning sequence chunks with rematerialization keeps peak
+    logits memory at [B, chunk, V] while matching the dense computation
+    exactly (same bf16 matmul -> fp32 log_softmax; fp32 accumulation). The
+    shared core of ``_chunked_ce`` (training CE) and DPO's
+    ``get_batch_logps_from_hidden``."""
     b, l, d = hidden.shape
     pad = (-l) % chunk
     if pad:
@@ -185,6 +190,8 @@ def _chunked_ce(hidden: Array, w: Array, labels: Array, ignore_id: int = -100,
     n_chunks = (l + pad) // chunk
     h = hidden.reshape(b, n_chunks, chunk, d).swapaxes(0, 1)   # [C, B, chunk, D]
     lab = labels.reshape(b, n_chunks, chunk).swapaxes(0, 1)
+    axis = -1 if per_row else None
+    shape = (b,) if per_row else ()
 
     @jax.checkpoint
     def body(carry, xs):
@@ -194,13 +201,22 @@ def _chunked_ce(hidden: Array, w: Array, labels: Array, ignore_id: int = -100,
         valid = lab_c != ignore_id
         safe = jnp.where(valid, lab_c, 0)
         logp = jax.nn.log_softmax(logits, axis=-1)
-        nll = -jnp.take_along_axis(logp, safe[..., None], axis=-1)[..., 0]
-        return (total + jnp.sum(jnp.where(valid, nll, 0.0)),
-                count + jnp.sum(valid)), None
+        tok = jnp.take_along_axis(logp, safe[..., None], axis=-1)[..., 0]
+        return (total + jnp.sum(jnp.where(valid, tok, 0.0), axis=axis),
+                count + jnp.sum(valid, axis=axis)), None
 
-    (total, count), _ = jax.lax.scan(body, (jnp.zeros((), jnp.float32),
-                                            jnp.zeros((), jnp.int32)), (h, lab))
-    return total / jnp.maximum(count, 1)
+    (total, count), _ = jax.lax.scan(
+        body, (jnp.zeros(shape, jnp.float32), jnp.zeros(shape, jnp.int32)),
+        (h, lab))
+    return total, count
+
+
+def _chunked_ce(hidden: Array, w: Array, labels: Array, ignore_id: int = -100,
+                chunk: int = 64) -> Array:
+    """Mean CE over non-ignored positions, chunked (== ``_cross_entropy``)."""
+    total, count = _chunked_label_logps(hidden, w, labels, ignore_id=ignore_id,
+                                        chunk=chunk)
+    return -total / jnp.maximum(count, 1)
 
 
 def forward(

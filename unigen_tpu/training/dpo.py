@@ -49,8 +49,10 @@ class DPOConfig:
     # instead of running the frozen reference forward inside the step. DPO's
     # reference IS the step-0 policy, so this is the same training trajectory —
     # but the second 1.5B model never occupies HBM during training (the
-    # difference between fitting and not fitting DPO on one 16GB chip), and
-    # epochs > 1 reuse the precomputed values.
+    # difference between fitting and not fitting DPO on one 16GB chip). The
+    # precompute pass runs one forward per TRAINING STEP (masking keys differ
+    # per step and per epoch, so values are per-(epoch, step), not reusable) —
+    # roughly 1/3 of a training step's FLOPs, paid up front.
     precomputed_ref: bool = False
 
 
@@ -81,36 +83,16 @@ def get_batch_logps_from_hidden(hidden: Array, w: Array, labels: Array, *,
                                 label_pad_token_id: int = -100,
                                 chunk: int = 64) -> Array:
     """Per-row sum (or mean) of label log-probs, projecting hidden -> vocab
-    chunk-by-chunk along the sequence (cf. models.unigen._chunked_ce). The
-    caller pre-slices ``hidden``/``labels`` so position i of one predicts
-    position i of the other; with the unified 160k vocabulary this keeps peak
-    logits memory at [B, chunk, V] while matching ``get_batch_logps`` exactly
-    (same bf16 matmul -> fp32 log_softmax as the dense head)."""
-    b, l, d = hidden.shape
-    pad = (-l) % chunk
-    if pad:
-        hidden = jnp.pad(hidden, ((0, 0), (0, pad), (0, 0)))
-        labels = jnp.pad(labels, ((0, 0), (0, pad)),
-                         constant_values=label_pad_token_id)
-    n_chunks = (l + pad) // chunk
-    h = hidden.reshape(b, n_chunks, -1, d).swapaxes(0, 1)   # [C, B, chunk, D]
-    lab = labels.reshape(b, n_chunks, -1).swapaxes(0, 1)
-
-    @jax.checkpoint
-    def body(carry, xs):
-        total, count = carry
-        h_c, lab_c = xs
-        logits = (h_c @ w.astype(h_c.dtype)).astype(jnp.float32)
-        mask = lab_c != label_pad_token_id
-        safe = jnp.where(mask, lab_c, 0)
-        logp = jax.nn.log_softmax(logits, axis=-1)
-        tok = jnp.take_along_axis(logp, safe[..., None], axis=-1)[..., 0]
-        return (total + jnp.sum(jnp.where(mask, tok, 0.0), axis=-1),
-                count + jnp.sum(mask, axis=-1)), None
-
-    (total, count), _ = jax.lax.scan(
-        body, (jnp.zeros((b,), jnp.float32), jnp.zeros((b,), jnp.int32)),
-        (h, lab))
+    chunk-by-chunk along the sequence (models.unigen._chunked_label_logps is
+    the shared core). The caller pre-slices ``hidden``/``labels`` so position
+    i of one predicts position i of the other; with the unified 160k
+    vocabulary this keeps peak logits memory at [B, chunk, V] while matching
+    ``get_batch_logps`` exactly (same bf16 matmul -> fp32 log_softmax as the
+    dense head)."""
+    from ..models.unigen import _chunked_label_logps
+    total, count = _chunked_label_logps(hidden, w, labels,
+                                        ignore_id=label_pad_token_id,
+                                        chunk=chunk, per_row=True)
     if average_log_prob:
         return total / count
     return total
@@ -208,8 +190,10 @@ def make_ref_logps_fn(cfg: UniGenConfig, vq_cfg: magvit.MagvitConfig,
 
     The training step then never holds a second 1.5B model (or its forward)
     in HBM — the difference between fitting and not fitting flagship DPO on a
-    16GB chip — and epochs > 1 reuse the stored values. Identical trajectory
-    to the online path for the same keys (tests/test_dpo.py)."""
+    16GB chip. The pass costs one forward per TRAINING STEP (masking keys
+    differ per step and per epoch, so each (epoch, step) needs its own
+    values). Identical trajectory to the online path for the same keys
+    (tests/test_dpo.py)."""
     schedule = S.get_mask_schedule(dcfg.mask_schedule)
 
     def ref_logps(params, vq_params, batch, key):

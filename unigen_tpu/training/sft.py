@@ -192,12 +192,8 @@ def make_sft_train_step(
         total = jnp.zeros((), jnp.float32)
         parts, labs_parts, masks, bt, bl, mask_prob = build_tl_inputs(
             vq_params, batch, key)
-        if parts:
-            if len(parts) > 1 and parts[0].shape[1] != parts[1].shape[1]:
-                raise ValueError(
-                    f"t2i seq {parts[0].shape[1]} != lm seq {parts[1].shape[1]}: "
-                    "the fused t2i+lm forward needs equal lengths — pad the "
-                    "shorter flow in the loader, or set common_length")
+        fusable = len(parts) < 2 or parts[0].shape[1] == parts[1].shape[1]
+        if parts and fusable:
             _, lt, ll, _ = unigen.forward(
                 params, cfg, input_ids=jnp.concatenate(parts, axis=0),
                 attention_mask=jnp.concatenate(masks, axis=0),
@@ -211,6 +207,22 @@ def make_sft_train_step(
             if bl:
                 losses["loss_lm"] = ll
                 total = total + tcfg.lm_coeff * ll
+        elif parts:
+            # unequal t2i/lm lengths: one forward per flow (costs a second
+            # backward-scan gradient-accumulator set — fine off the 16GB chip)
+            _, lt, _, _ = unigen.forward(
+                params, cfg, input_ids=parts[0], attention_mask=masks[0],
+                labels=labs_parts[0], batch_size_t2i=bt,
+                t2i_mode=tcfg.t2i_gen_mode, remat=tcfg.remat,
+                memory_efficient_loss=tcfg.memory_efficient_loss)
+            losses["loss_t2i"] = lt
+            total = total + tcfg.t2i_coeff * lt
+            _, _, ll, _ = unigen.forward(
+                params, cfg, input_ids=parts[1], attention_mask=masks[1],
+                labels=labs_parts[1], batch_size_lm=bl, remat=tcfg.remat,
+                memory_efficient_loss=tcfg.memory_efficient_loss)
+            losses["loss_lm"] = ll
+            total = total + tcfg.lm_coeff * ll
         losses["avg_masking_rate"] = mask_prob.mean()
         return total, losses
 
@@ -331,7 +343,14 @@ def make_sft_train_step(
         rt = rl = 0
         t2i_labs_p = lm_labs_p = None
         if bt:
-            ids_p, t2i_labs_p, att_p, pos_p = pack(parts[0], labs_parts[0],
+            # the separate/fused paths score ONLY the trailing-VQ-block slice;
+            # real prompting emits soi/eoi LABELS outside it (prompting.py
+            # t2i_prompt) which the slice discards — mask them here so the
+            # unshifted full-row CE scores exactly the block positions
+            t2i_labs = labs_parts[0]
+            block_only = jnp.full_like(t2i_labs, -100).at[:, -(n + 1):-1].set(
+                t2i_labs[:, -(n + 1):-1])
+            ids_p, t2i_labs_p, att_p, pos_p = pack(parts[0], block_only,
                                                    masks[0])
             embeds.append(unigen.embed_tokens(params, ids_p))
             atts.append(att_p)
