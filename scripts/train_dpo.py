@@ -73,6 +73,20 @@ def main():
                      precomputed_ref=use_precomputed)
     step = jax.jit(make_dpo_step(cfg, vq_cfg, tx, dcfg), donate_argnums=(0,))
     state = init_train_state(params, tx)
+    resume_from = 0
+    if config.experiment.get("resume_from_checkpoint"):
+        # reference train_dpo.py:322+: scan checkpoint-* dirs and restart from
+        # the newest trainer state. The deterministic schedule below is then
+        # SKIPPED up to the resumed step, so data order, masking keys, and the
+        # precomputed reference cache all stay aligned (the reference loses
+        # the data position on resume; here it is exact).
+        want = config.experiment.resume_from_checkpoint
+        path = (CK.latest_checkpoint(config.experiment.output_dir)
+                if want == "latest" else want)
+        if path and os.path.isdir(os.path.join(path, "state")):
+            logger.info(f"resuming from checkpoint {path}")
+            state = CK.restore_checkpoint(path, state)
+            resume_from = CK.resume_step(path)
     metrics_log = MetricLogger(config.experiment.output_dir)
 
     def batches():
@@ -143,6 +157,9 @@ def main():
 
     global_step = 0
     for device_batch, sub in step_schedule():
+        if global_step < resume_from:
+            global_step += 1
+            continue
         if use_precomputed:
             if global_step >= len(ref_cache):
                 raise RuntimeError(

@@ -75,6 +75,17 @@ def main():
     # (training/sft.py::loss_fused); otherwise separate per-length calls.
     step = None
     state = init_train_state(params, tx)
+    resume_step = 0
+    if config.experiment.get("resume_from_checkpoint"):
+        # reference train_w_clip_vit.py:213-235: scan checkpoint-* dirs and
+        # restart from the newest trainer state
+        want = config.experiment.resume_from_checkpoint
+        path = (CK.latest_checkpoint(config.experiment.output_dir)
+                if want == "latest" else want)
+        if path and os.path.isdir(os.path.join(path, "state")):
+            logger.info(f"resuming from checkpoint {path}")
+            state = CK.restore_checkpoint(path, state)
+            resume_step = CK.resume_step(path)
     metrics_log = MetricLogger(config.experiment.output_dir)
 
     res = config.dataset.preprocessing.resolution
@@ -121,7 +132,7 @@ def main():
                        "lm": {"texts": [""] * tr.batch_size_lm}}
 
     key = jax.random.key(tr.get("seed", 10084))
-    global_step = 0
+    global_step = resume_step
     placeholder = np.zeros((tr.batch_size_t2i, n), np.int64)
     for fb in batches():
         if global_step >= tr.max_train_steps:

@@ -56,7 +56,26 @@ def test_train_sft_entry_smoke(tmp_path):
 
 
 @pytest.mark.slow
-def test_train_dpo_entry_smoke(tmp_path):
+def test_train_dpo_entry_smoke_and_resume(tmp_path):
     out = str(tmp_path / "dpo")
     _run_script("train_dpo.py", "configs/tiny/smoke_dpo.yaml", out)
     _assert_trained(out)
+    # relaunch with a higher step budget: must resume from checkpoint-2 (the
+    # reference scripts' resume-from-latest behavior, train_dpo.py:322+) and
+    # end at checkpoint-4
+    r = _run_script("train_dpo.py", "configs/tiny/smoke_dpo.yaml", out,
+                    extra=("training.max_train_steps=4",
+                           "experiment.resume_from_checkpoint=latest"))
+    assert "resuming from checkpoint" in (r.stderr + r.stdout)
+    assert os.path.isdir(os.path.join(out, "checkpoint-4")), os.listdir(out)
+
+
+@pytest.mark.slow
+def test_train_sft_entry_resume(tmp_path):
+    out = str(tmp_path / "sft")
+    _run_script("train_sft.py", "configs/tiny/smoke_sft.yaml", out)
+    r = _run_script("train_sft.py", "configs/tiny/smoke_sft.yaml", out,
+                    extra=("training.max_train_steps=4",
+                           "experiment.resume_from_checkpoint=latest"))
+    assert "resuming from checkpoint" in (r.stderr + r.stdout)
+    assert os.path.isdir(os.path.join(out, "checkpoint-4")), os.listdir(out)
