@@ -166,11 +166,14 @@ def main():
         if step is None:
             import dataclasses as _dc
             mmu_len = part1.shape[1] + p_tokens + part2.shape[1]
-            tl_len = max(device_batch["t2i_template"].shape[1],
-                         device_batch["lm_ids"].shape[1])
-            common = int(mmu_len) if mmu_len >= tl_len else None
+            tl_lens = [device_batch[k].shape[1]
+                       for k, bs in (("t2i_template", tcfg.batch_size_t2i),
+                                     ("lm_ids", tcfg.batch_size_lm)) if bs > 0]
+            # fusion only applies when a short t2i/lm group exists (the CoT-V
+            # post-SFT stage is mmu-only, reference unigen_cotv_post_sft.yaml)
+            common = int(mmu_len) if tl_lens and mmu_len >= max(tl_lens) else None
             logger.info(f"SFT step mode: common_length={common} "
-                        f"(mmu {mmu_len}, t2i/lm {tl_len})")
+                        f"(mmu {mmu_len}, t2i/lm {tl_lens})")
             step = jax.jit(
                 make_sft_train_step(cfg, vq_cfg, vs_cfg, tx,
                                     _dc.replace(tcfg, common_length=common)),

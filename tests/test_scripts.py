@@ -71,6 +71,19 @@ def test_train_dpo_entry_smoke_and_resume(tmp_path):
 
 
 @pytest.mark.slow
+def test_train_cotv_post_sft_entry_smoke(tmp_path):
+    """The CoT-V post-SFT stage = the SFT entry with mmu-only batches
+    (reference configs/unigen_1_5b/unigen_cotv_post_sft.yaml: batch 0 t2i +
+    0 lm + 8 mmu); the fused common-length mode must stand down."""
+    out = str(tmp_path / "cotv")
+    r = _run_script("train_sft.py", "configs/tiny/smoke_sft.yaml", out,
+                    extra=("training.batch_size_t2i=0",
+                           "training.batch_size_lm=0"))
+    assert "common_length=None" in (r.stderr + r.stdout)
+    _assert_trained(out)
+
+
+@pytest.mark.slow
 def test_train_sft_entry_resume(tmp_path):
     out = str(tmp_path / "sft")
     _run_script("train_sft.py", "configs/tiny/smoke_sft.yaml", out)
