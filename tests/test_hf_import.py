@@ -313,6 +313,55 @@ def test_sft_common_length_matches_separate(pack):
                                 rtol=1e-4, atol=1e-7)
 
 
+def test_sft_packed_partial_row_matches_separate():
+    """An odd t2i count leaves the last packed row partially filled (empty
+    slots are all-masked); losses must still equal the separate-call step."""
+    from unigen_tpu.training import lr_schedules as LRS
+    from unigen_tpu.training.optimizer import make_optimizer
+    from unigen_tpu.training.sft import SFTStepConfig, make_sft_train_step
+    from unigen_tpu.training.train_step import init_train_state
+
+    cfg, vq_cfg, vs_cfg, params, vq_params, vs_params, batch = _sft_fixture()
+    n, L = cfg.num_vq_tokens, 28
+    rng = np.random.default_rng(2)
+    bt, bm = 3, 2
+    p = vs_cfg.num_patches
+    part2_len = 50
+    mmu_len = 3 + p + part2_len          # 57 -> 2 segments of 28 per row
+    t2i_template = rng.integers(3, 100, size=(bt, L))
+    t2i_template[:, -n - 2] = 1
+    t2i_template[:, -n - 1:-1] = 0
+    t2i_template[:, -1] = 2
+    t2i_labels = np.full((bt, L), -100)
+    t2i_labels[:, -n - 2] = 1
+    t2i_labels[:, -1] = 2
+    mmu_labels = np.full((bm, mmu_len), -100)
+    mmu_labels[:, -6:] = rng.integers(3, 100, size=(bm, 6))
+    batch = {
+        "t2i_template": jnp.asarray(t2i_template),
+        "t2i_labels": jnp.asarray(t2i_labels, dtype=jnp.int32),
+        "t2i_pixels": jnp.asarray(rng.normal(size=(bt, 8, 8, 3)), jnp.float32),
+        "mmu_part1": jnp.asarray(rng.integers(3, 100, size=(bm, 3))),
+        "mmu_part2": jnp.asarray(rng.integers(3, 100, size=(bm, part2_len))),
+        "mmu_labels": jnp.asarray(mmu_labels),
+        "mmu_pixels": jnp.asarray(rng.normal(size=(bm, 28, 28, 3)), jnp.float32),
+        "mmu_prompt_len": jnp.full((bm,), mmu_len),
+    }
+    schedule = LRS.get_scheduler("constant")
+    results = {}
+    for common in (mmu_len, None):
+        tx = make_optimizer(params, 1e-3, schedule)
+        tcfg = SFTStepConfig(batch_size_t2i=bt, batch_size_lm=0,
+                             batch_size_mmu=bm, common_length=common)
+        step = jax.jit(make_sft_train_step(cfg, vq_cfg, vs_cfg, tx, tcfg))
+        state = init_train_state(jax.tree_util.tree_map(jnp.copy, params), tx)
+        _, metrics = step(state, vq_params, vs_params, batch, jax.random.key(9))
+        results[common] = {k: float(v) for k, v in metrics.items()}
+    for k in ("loss", "loss_t2i", "loss_mmu", "grad_norm"):
+        np.testing.assert_allclose(results[mmu_len][k], results[None][k],
+                                   rtol=2e-5, err_msg=k)
+
+
 def test_grid_tiles():
     from unigen_tpu.training.sft import grid_tiles
     px = jnp.arange(2 * 8 * 8 * 3, dtype=jnp.float32).reshape(2, 8, 8, 3)
