@@ -286,6 +286,108 @@ def bench_vqa(batch_size: int = 8, prompt_len: int = 600, max_new_tokens: int = 
                                  "max_new_tokens": max_new_tokens}}))
 
 
+def bench_serve(slots: int = 32, n_requests: int = 96, prompt_len: int = 600,
+                chunk: int = 16, quant: Optional[str] = "int8+kv",
+                seed: int = 0, tiny: bool = False):
+    """Continuous-batching serving throughput on a mixed-length trace.
+
+    Workload: ``n_requests`` prompts of ``prompt_len`` tokens with decode
+    budgets drawn uniform[32, 224] (mean ~128) — the request-length variance a
+    real VQA/caption service sees. Two measured runs over the SAME trace and
+    the SAME engine programs:
+
+    - continuous: all requests queued up front; slots refill as they free
+      (unigen_tpu/serving/engine.py).
+    - static: the same requests in waves of ``slots``, waiting for each wave
+      to drain — every wave runs at its longest request (the
+      evaluation/lmms_adapter.py discipline, and the reference's; its adapter
+      is batch-1, third_party/lmms/models/unigen.py:259-430).
+
+    Reports useful tokens/sec/chip for both plus the continuous/static speedup.
+    """
+    import jax
+
+    from unigen_tpu.models import unigen
+    from unigen_tpu.serving import ServingEngine
+
+    _enable_compile_cache()
+    if tiny:  # CPU smoke: exercises the same control flow on a toy model
+        cfg = unigen.UniGenConfig.tiny()
+        prompt_len, n_requests, slots = 24, 12, 4
+    else:
+        cfg = unigen.UniGenConfig.for_qwen25_15b()
+    params = jax.jit(lambda k: unigen.init(k, cfg))(jax.random.key(0))
+    if quant in ("int8", "int8+kv") and not tiny:
+        from unigen_tpu.ops.quantization import quantize_unigen_params
+        params = jax.jit(lambda p: quantize_unigen_params(p, cfg, lm_head=True))(params)
+        print("[bench] serve backbone+lm_head quantized to int8", file=sys.stderr)
+    quant_kv = quant == "int8+kv" and not tiny
+    if tiny:
+        quant = None
+
+    rng = np.random.default_rng(seed)
+    prompts = [rng.integers(10, min(1000, cfg.text_vocab_len - 1),
+                            size=(prompt_len,)).tolist()
+               for _ in range(n_requests)]
+    budgets = rng.integers(8 if tiny else 32, 33 if tiny else 225,
+                           size=n_requests).tolist()
+    bucket = ((prompt_len + 127) // 128) * 128
+    max_len = bucket + 256
+
+    def make_engine():
+        return ServingEngine(params, cfg, slots=slots, max_len=max_len,
+                             buckets=(bucket,), chunk=chunk,
+                             quantized_cache=quant_kv, seed=seed)
+
+    # warmup/compile: one tiny pass through both programs (admit + decode)
+    with _Watchdog(1800):
+        t0 = time.perf_counter()
+        with make_engine() as weng:
+            weng.submit(prompts[0], max_new_tokens=2).result(timeout=1700)
+        print(f"[bench] serve compile+warmup: {time.perf_counter() - t0:.1f}s",
+              file=sys.stderr)
+
+    def run(static: bool) -> float:
+        eng = make_engine()
+        t0 = time.perf_counter()
+        if static:
+            for w0 in range(0, n_requests, slots):
+                futs = [eng.submit(p, max_new_tokens=b) for p, b in
+                        zip(prompts[w0:w0 + slots], budgets[w0:w0 + slots])]
+                for f in futs:
+                    f.result(timeout=900)
+        else:
+            futs = [eng.submit(p, max_new_tokens=b)
+                    for p, b in zip(prompts, budgets)]
+            for f in futs:
+                f.result(timeout=900)
+        dt = time.perf_counter() - t0
+        occ = eng.stats.occupancy
+        eng.close()
+        mode = "static" if static else "continuous"
+        print(f"[bench] serve {mode}: {dt:.2f}s, occupancy {occ:.2f}",
+              file=sys.stderr)
+        return dt
+
+    total_tokens = sum(budgets)
+    with _Watchdog(1500):
+        t_static = run(static=True)
+    with _Watchdog(1500):
+        t_cont = run(static=False)
+    tps_cont = total_tokens / t_cont
+    tps_static = total_tokens / t_static
+    print(json.dumps({
+        "metric": f"serving tokens/sec/chip (continuous batching) [{quant or 'bf16'}]",
+        "value": round(tps_cont, 1), "unit": "tokens/sec/chip",
+        "vs_baseline": None, "synced": True,
+        "config": {"slots": slots, "n_requests": n_requests,
+                   "prompt_len": prompt_len, "chunk": chunk,
+                   "quant": quant or "bf16",
+                   "budgets": "U[8,32]" if tiny else "U[32,224]"},
+        "static_tokens_per_s": round(tps_static, 1),
+        "speedup_vs_static": round(tps_cont / tps_static, 3)}))
+
+
 def bench_tokenizer(batch_size: int = 16):
     """MAGViTv2 encode+decode throughput at 256px. Reports codes/sec/chip."""
     import jax
@@ -595,6 +697,13 @@ if __name__ == "__main__":
         bench_vqa(batch_size=int(nums[0]) if nums else 8, quant=q)
     elif args and args[0] == "tokenizer":
         bench_tokenizer(batch_size=int(args[1]) if len(args) > 1 else 16)
+    elif args and args[0] == "serve":
+        nums = [a for a in args[1:] if a.isdigit()]
+        q = next((a for a in args if a in ("int8", "int8kv", "int8+kv", "bf16")), "int8+kv")
+        bench_serve(slots=int(nums[0]) if nums else 32,
+                    n_requests=int(nums[1]) if len(nums) > 1 else 96,
+                    quant=None if q == "bf16" else ("int8+kv" if q == "int8kv" else q),
+                    tiny="tiny" in args)
     elif args and args[0] == "train":
         mode = next((a for a in args[1:] if a in ("pt2", "sft", "dpo")), "pt2")
         nums = [a for a in args[1:] if a.isdigit()]

@@ -1,0 +1,269 @@
+"""Continuous-batching serving engine tests.
+
+The engine must reproduce the batch decoder's outputs request-for-request while
+slots are admitted/freed at staggered times — the property that makes
+continuous batching a drop-in for static batching (the reference has no serving
+runtime at all; SURVEY.md §2.7 note on the lmms batch-1 loop).
+"""
+import json
+import threading
+import urllib.error
+import urllib.request
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from unigen_tpu.generation import generate_text, mmu_generate
+from unigen_tpu.models import qwen2, unigen as U
+from unigen_tpu.serving import ServingEngine
+from unigen_tpu.serving.server import ServingHTTPServer
+
+
+@pytest.fixture(scope="module")
+def model():
+    cfg = U.UniGenConfig.tiny()
+    params = U.init(jax.random.key(0), cfg)
+    return cfg, params
+
+
+def _prompts(cfg, lens, seed=0):
+    rng = np.random.default_rng(seed)
+    return [rng.integers(3, cfg.text_vocab_len - 1, size=(n,)).tolist() for n in lens]
+
+
+def _reference_greedy(cfg, params, ids, max_new, eot=None):
+    """Single-request ground truth via the batch decoder."""
+    arr = jnp.asarray(ids, jnp.int32)[None]
+    out = generate_text(params, cfg, jax.random.key(1), arr,
+                        jnp.asarray([len(ids)]), max_new_tokens=max_new,
+                        temperature=0.0, eot_token=eot)
+    toks = np.asarray(out)[0].tolist()
+    if eot is not None and eot in toks:
+        toks = toks[:toks.index(eot) + 1]
+    return toks
+
+
+# ---------------------------------------------------------------------------
+# Per-row cache index (the device-side primitive)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("quantize", [False, True])
+def test_per_row_cache_uniform_matches_scalar(model, quantize):
+    """Per-row index with identical values must be bit-exact vs the scalar path."""
+    cfg, params = model
+    b, l0 = 3, 7
+    rng = np.random.default_rng(3)
+    ids = jnp.asarray(rng.integers(3, 100, size=(b, l0)), jnp.int32)
+    emb = U.embed_tokens(params, ids)
+    pos = jnp.broadcast_to(jnp.arange(l0)[None], (b, l0))
+    causal = jnp.broadcast_to(
+        (jnp.arange(l0)[:, None] >= jnp.arange(l0)[None, :])[None, None],
+        (b, 1, l0, l0))
+
+    def run(per_row):
+        cache = qwen2.init_kv_cache(cfg.llm, b, l0 + 4, quantize=quantize,
+                                    per_row_index=per_row)
+        h, cache = qwen2.forward(
+            params["llm"], cfg.llm, inputs_embeds=emb, positions=pos,
+            mask=jnp.concatenate([causal, jnp.zeros((b, 1, l0, 4), bool)], -1),
+            cache=cache)
+        outs = [h[:, -1]]
+        tok = jnp.argmax(h[:, -1] @ params["llm"]["embed"]["weight"].T, -1)
+        for t in range(3):
+            e = U.embed_tokens(params, tok[:, None])
+            h, cache = qwen2.forward(params["llm"], cfg.llm, inputs_embeds=e,
+                                     cache=cache)
+            outs.append(h[:, 0])
+            tok = jnp.argmax(h[:, 0] @ params["llm"]["embed"]["weight"].T, -1)
+        return np.asarray(jnp.stack(outs)), np.asarray(cache.k), cache.index
+
+    h_s, k_s, i_s = run(per_row=False)
+    h_r, k_r, i_r = run(per_row=True)
+    np.testing.assert_array_equal(h_s, h_r)
+    np.testing.assert_array_equal(k_s, k_r)
+    assert int(i_s) == int(np.asarray(i_r)[0])
+
+
+def test_per_row_cache_staggered_positions(model):
+    """Rows writing at different positions land in their own slots only."""
+    cfg, params = model
+    b = 4
+    cache = qwen2.init_kv_cache(cfg.llm, b, 16, per_row_index=True)
+    cache = cache._replace(index=jnp.asarray([0, 3, 7, 12], jnp.int32))
+    rng = np.random.default_rng(0)
+    tok = jnp.asarray(rng.integers(3, 100, size=(b, 1)), jnp.int32)
+    emb = U.embed_tokens(params, tok)
+    _, cache2 = qwen2.forward(params["llm"], cfg.llm, inputs_embeds=emb,
+                              cache=cache)
+    k2 = np.asarray(cache2.k)
+    np.testing.assert_array_equal(np.asarray(cache2.index), [1, 4, 8, 13])
+    for row, idx in enumerate([0, 3, 7, 12]):
+        assert np.abs(k2[:, row, idx]).sum() > 0          # written slot
+        untouched = np.delete(k2[:, row], idx, axis=1)
+        np.testing.assert_array_equal(untouched, 0)       # everything else clean
+
+
+# ---------------------------------------------------------------------------
+# Engine
+# ---------------------------------------------------------------------------
+
+def test_engine_greedy_matches_batch_decoder(model):
+    """Mixed prompt lengths across buckets, more requests than slots, all greedy —
+    every request must reproduce the batch decoder's tokens exactly."""
+    cfg, params = model
+    prompts = _prompts(cfg, [5, 11, 3, 17, 9, 6, 14, 4, 12, 7])
+    with ServingEngine(params, cfg, slots=3, max_len=64, buckets=(8, 16, 24),
+                       chunk=4) as eng:
+        futs = [eng.submit(p, max_new_tokens=10) for p in prompts]
+        got = [f.result(timeout=120) for f in futs]
+    for p, g in zip(prompts, got):
+        assert g == _reference_greedy(cfg, params, p, 10), f"prompt len {len(p)}"
+    assert eng.stats.requests_completed == len(prompts)
+
+
+def test_engine_staggered_admission(model):
+    """Requests submitted while others are mid-decode (the continuous part)."""
+    cfg, params = model
+    prompts = _prompts(cfg, [6, 10, 4, 13], seed=7)
+    eng = ServingEngine(params, cfg, slots=2, max_len=64, buckets=(16,), chunk=2)
+    try:
+        f0 = eng.submit(prompts[0], max_new_tokens=12)
+        f1 = eng.submit(prompts[1], max_new_tokens=5)
+        f1.result(timeout=120)  # slot frees while f0 still decoding
+        f2 = eng.submit(prompts[2], max_new_tokens=8)
+        f3 = eng.submit(prompts[3], max_new_tokens=8)
+        results = [f0.result(120), f1.result(120), f2.result(120), f3.result(120)]
+    finally:
+        eng.close()
+    for p, g, n in zip(prompts, results, [12, 5, 8, 8]):
+        assert g == _reference_greedy(cfg, params, p, n)
+
+
+def test_engine_eot_stops_and_frees_slot(model):
+    """A request whose greedy decode hits eot stops there; the freed slot serves
+    the queue. eot ground truth comes from the batch decoder."""
+    cfg, params = model
+    prompts = _prompts(cfg, [8, 8, 8, 8], seed=11)
+    # pick the most-likely 2nd token of prompt 0 as "eot" so it actually fires
+    ref = _reference_greedy(cfg, params, prompts[0], 6)
+    eot = ref[1]
+    with ServingEngine(params, cfg, slots=2, max_len=32, buckets=(8,),
+                       chunk=3) as eng:
+        futs = [eng.submit(p, max_new_tokens=6, eot_token=eot) for p in prompts]
+        got = [f.result(timeout=120) for f in futs]
+    for p, g in zip(prompts, got):
+        assert g == _reference_greedy(cfg, params, p, 6, eot=eot)
+    assert got[0] == ref[:2]  # stopped at the planted eot
+
+
+def test_engine_per_request_temperature(model):
+    """temp=0 rows stay deterministic while temp>0 rows share the batch."""
+    cfg, params = model
+    prompts = _prompts(cfg, [6, 6], seed=5)
+    with ServingEngine(params, cfg, slots=2, max_len=32, buckets=(8,),
+                       chunk=4, top_k=20) as eng:
+        fg = eng.submit(prompts[0], max_new_tokens=8, temperature=0.0)
+        fs = eng.submit(prompts[1], max_new_tokens=8, temperature=1.0)
+        greedy, sampled = fg.result(120), fs.result(120)
+    assert greedy == _reference_greedy(cfg, params, prompts[0], 8)
+    assert all(0 <= t < cfg.vocab_size for t in sampled)
+
+
+def test_engine_quantized_cache_smoke(model):
+    cfg, params = model
+    prompts = _prompts(cfg, [7, 12], seed=9)
+    with ServingEngine(params, cfg, slots=2, max_len=32, buckets=(16,),
+                       chunk=4, quantized_cache=True) as eng:
+        got = [eng.submit(p, max_new_tokens=6).result(120) for p in prompts]
+    for g in got:
+        assert len(g) == 6 and all(0 <= t < cfg.vocab_size for t in g)
+
+
+def test_engine_embeddings_path_matches_mmu_generate(model):
+    """The understanding path: spliced embeddings + omni mask through the engine
+    equals mmu_generate greedy."""
+    cfg, params = model
+    b, l = 1, 12
+    plen = 9
+    rng = np.random.default_rng(2)
+    ids = jnp.asarray(rng.integers(3, 100, size=(b, l)), jnp.int32)
+    emb = U.embed_tokens(params, ids)
+    pos = np.arange(l)
+    keep = pos < plen
+    mask = ((pos[:, None] >= pos[None, :])[None, None]
+            & keep[None, None, None, :] & keep[None, None, :, None])
+    ref = mmu_generate(params, cfg, jax.random.key(0), input_ids=ids,
+                       attention_mask=jnp.asarray(mask), prompt_len=jnp.asarray([plen]),
+                       max_new_tokens=7, temperature=0.0)
+    with ServingEngine(params, cfg, slots=2, max_len=32, buckets=(12,),
+                       chunk=4) as eng:
+        got = eng.submit_embeds(np.asarray(emb), mask, plen,
+                                max_new_tokens=7).result(120)
+    assert got == np.asarray(ref)[0].tolist()
+
+
+def test_engine_rejects_oversized(model):
+    cfg, params = model
+    with ServingEngine(params, cfg, slots=1, max_len=32, buckets=(8, 16)) as eng:
+        with pytest.raises(ValueError, match="exceeds largest bucket"):
+            eng.submit(list(range(3, 20)))
+        with pytest.raises(ValueError, match="exceeds the"):
+            eng.submit([3, 4, 5], max_new_tokens=100)
+
+
+def test_engine_occupancy_accounting(model):
+    cfg, params = model
+    with ServingEngine(params, cfg, slots=4, max_len=32, buckets=(8,),
+                       chunk=2) as eng:
+        eng.submit(_prompts(cfg, [5])[0], max_new_tokens=6).result(120)
+    s = eng.stats
+    assert s.slot_steps >= s.busy_steps > 0
+    assert 0 < s.occupancy <= 1.0
+
+
+# ---------------------------------------------------------------------------
+# HTTP server
+# ---------------------------------------------------------------------------
+
+def test_http_server_end_to_end(model):
+    cfg, params = model
+    prompts = _prompts(cfg, [5, 9, 12], seed=4)
+    eng = ServingEngine(params, cfg, slots=2, max_len=48, buckets=(16,), chunk=4)
+    with ServingHTTPServer(eng, port=0) as srv:
+        url = f"http://{srv.host}:{srv.port}"
+
+        def post(payload):
+            req = urllib.request.Request(
+                url + "/v1/generate", data=json.dumps(payload).encode(),
+                headers={"Content-Type": "application/json"})
+            with urllib.request.urlopen(req, timeout=120) as r:
+                return json.loads(r.read())
+
+        # concurrent clients
+        results = [None] * len(prompts)
+
+        def client(i):
+            results[i] = post({"prompt_ids": prompts[i], "max_new_tokens": 6})
+
+        threads = [threading.Thread(target=client, args=(i,))
+                   for i in range(len(prompts))]
+        [t.start() for t in threads]
+        [t.join(timeout=120) for t in threads]
+
+        for p, r in zip(prompts, results):
+            assert r["tokens"] == _reference_greedy(cfg, params, p, 6)
+
+        with urllib.request.urlopen(url + "/healthz", timeout=30) as r:
+            health = json.loads(r.read())
+        assert health["status"] == "ok"
+        assert health["stats"]["requests_completed"] == len(prompts)
+
+        # malformed request -> 400
+        try:
+            post({"nonsense": 1})
+            assert False, "expected HTTP 400"
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+    eng.close()

@@ -68,10 +68,15 @@ class KVCache(NamedTuple):
     stored int8 with per-(slot, head) symmetric scales — halves the dominant
     HBM read of the decode loop (the cache is ~2.1GB/step at VQA shapes,
     BENCH.md) at ~1e-2 relative error, re-quantized at write time only.
+
+    ``index`` is scalar int32 (all rows at the same decode position — the
+    batch-decode paths) or [B] int32 (each row at its own position — the
+    continuous-batching serving engine, where every slot holds an
+    independently-aged request; writes become a per-row scatter).
     """
     k: Array
     v: Array
-    index: Array  # scalar int32 — number of valid positions
+    index: Array  # scalar or [B] int32 — number of valid positions (per row)
     k_scale: Optional[Array] = None  # [num_layers, B, max_len, KVH] fp32
     v_scale: Optional[Array] = None
 
@@ -81,17 +86,39 @@ class KVCache(NamedTuple):
 
 
 def init_kv_cache(cfg: Qwen2Config, batch_size: int, max_len: int,
-                  dtype: Optional[Any] = None, quantize: bool = False) -> KVCache:
+                  dtype: Optional[Any] = None, quantize: bool = False,
+                  per_row_index: bool = False) -> KVCache:
     shape = (cfg.num_hidden_layers, batch_size, max_len,
              cfg.num_key_value_heads, cfg.head_dim)
+    index = jnp.zeros((batch_size,) if per_row_index else (), jnp.int32)
     if quantize:
         sshape = shape[:-1]
         return KVCache(jnp.zeros(shape, jnp.int8), jnp.zeros(shape, jnp.int8),
-                       jnp.zeros((), jnp.int32),
+                       index,
                        jnp.zeros(sshape, jnp.float32), jnp.zeros(sshape, jnp.float32))
     dtype = dtype or cfg.dtype
-    return KVCache(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype),
-                   jnp.zeros((), jnp.int32))
+    return KVCache(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype), index)
+
+
+def _cache_write(buf: Array, upd: Array, li: Array, cache_index: Array) -> Array:
+    """Write a chunk into one layer of the stacked cache buffer.
+
+    ``buf``: [layers, B, T, ...]; ``upd``: [B, l, ...]; ``li``: scalar layer index.
+    Scalar ``cache_index``: one dynamic_update_slice at the shared position.
+    [B] ``cache_index``: per-row positions — a vmapped dynamic_update_slice,
+    which XLA lowers to a scatter and aliases in the scan carry (the
+    continuous-batching engine keeps every serving slot at its own age).
+    """
+    upd = upd.astype(buf.dtype)
+    if jnp.ndim(cache_index) == 0:
+        zeros = (0,) * (buf.ndim - 3)
+        return jax.lax.dynamic_update_slice(buf, upd[None], (li, 0, cache_index) + zeros)
+
+    def one(buf_b, upd_b, i):
+        z = (0,) * (buf_b.ndim - 2)
+        return jax.lax.dynamic_update_slice(buf_b, upd_b[None], (li, i) + z)
+
+    return jax.vmap(one, in_axes=(1, 0, 0), out_axes=1)(buf, upd, cache_index)
 
 
 def _kv_quantize(x: Array) -> Tuple[Array, Array]:
@@ -229,10 +256,10 @@ def _attention_block(p, cfg: Qwen2Config, x: Array, mask: Optional[Array],
         (ck, cv, cks, cvs), li, cache_index = cache_ctx
         kq, ks_new = _kv_quantize(k)
         vq, vs_new = _kv_quantize(v)
-        ck = jax.lax.dynamic_update_slice(ck, kq[None], (li, 0, cache_index, 0, 0))
-        cv = jax.lax.dynamic_update_slice(cv, vq[None], (li, 0, cache_index, 0, 0))
-        cks = jax.lax.dynamic_update_slice(cks, ks_new[None], (li, 0, cache_index, 0))
-        cvs = jax.lax.dynamic_update_slice(cvs, vs_new[None], (li, 0, cache_index, 0))
+        ck = _cache_write(ck, kq, li, cache_index)
+        cv = _cache_write(cv, vq, li, cache_index)
+        cks = _cache_write(cks, ks_new, li, cache_index)
+        cvs = _cache_write(cvs, vs_new, li, cache_index)
         out = dot_product_attention_q8(
             q,
             jax.lax.dynamic_index_in_dim(ck, li, 0, keepdims=False),
@@ -244,10 +271,8 @@ def _attention_block(p, cfg: Qwen2Config, x: Array, mask: Optional[Array],
         return _dense(p["o"], out), (ck, cv, cks, cvs)
     elif cache_ctx is not None:
         (ck, cv), li, cache_index = cache_ctx
-        ck = jax.lax.dynamic_update_slice(ck, k[None].astype(ck.dtype),
-                                          (li, 0, cache_index, 0, 0))
-        cv = jax.lax.dynamic_update_slice(cv, v[None].astype(cv.dtype),
-                                          (li, 0, cache_index, 0, 0))
+        ck = _cache_write(ck, k, li, cache_index)
+        cv = _cache_write(cv, v, li, cache_index)
         k = jax.lax.dynamic_index_in_dim(ck, li, 0, keepdims=False)
         v = jax.lax.dynamic_index_in_dim(cv, li, 0, keepdims=False)
         new_cache = (ck, cv)
@@ -324,7 +349,10 @@ def forward(
 
     if positions is None:
         start = cache.index if cache is not None else 0
-        positions = start + jnp.arange(l)[None, :]
+        if jnp.ndim(start) == 1:  # per-row index: each slot at its own position
+            positions = start[:, None] + jnp.arange(l)[None, :]
+        else:
+            positions = start + jnp.arange(l)[None, :]
         positions = jnp.broadcast_to(positions, (b, l))
 
     meta_bits = None
@@ -348,7 +376,9 @@ def forward(
         # within the chunk).
         s = cache.k.shape[2]
         kpos = jnp.arange(s)[None, None, None, :]
-        qpos = cache.index + jnp.arange(l)[None, None, :, None]
+        idx = (cache.index[:, None, None, None] if jnp.ndim(cache.index) == 1
+               else cache.index)
+        qpos = idx + jnp.arange(l)[None, None, :, None]
         mask = jnp.broadcast_to(kpos <= qpos, (b, 1, l, s))
 
     if cache is not None:

@@ -1,0 +1,122 @@
+"""HTTP front end for the continuous-batching engine.
+
+Stdlib-only (this image has no web framework): a ``ThreadingHTTPServer`` whose
+handler threads block on the engine future while the single scheduler thread
+drives the device — the standard shape for a TPU serving replica, where HTTP
+concurrency is cheap host work and the accelerator is the serialized resource.
+
+Endpoints:
+  GET  /healthz              -> {"status": "ok", "stats": {...}}
+  POST /v1/generate          -> body {"prompt_ids": [...]} or {"prompt": "text"}
+                                (+ optional "max_new_tokens", "temperature",
+                                 "eot_token"); returns {"tokens": [...]} and,
+                                when a tokenizer is attached, {"text": "..."}.
+
+The reference has no serving entry point at all; this is a beyond-parity
+subsystem (docs/PARITY.md).
+"""
+from __future__ import annotations
+
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Any, Dict, Optional
+
+from .engine import ServingEngine
+
+
+class ServingHTTPServer:
+    """Wraps a ServingEngine behind HTTP. ``port=0`` picks a free port.
+
+    ``tokenizer`` (optional): any object with ``encode(str) -> list[int]`` and
+    ``decode(list[int]) -> str`` (the HF tokenizer interface) enabling the
+    ``{"prompt": "text"}`` form; without it only ``prompt_ids`` is accepted.
+    """
+
+    def __init__(self, engine: ServingEngine, *, host: str = "127.0.0.1",
+                 port: int = 0, tokenizer: Any = None,
+                 default_max_new_tokens: int = 128,
+                 request_timeout: float = 600.0):
+        self.engine = engine
+        self.tokenizer = tokenizer
+        self.default_max_new_tokens = default_max_new_tokens
+        self.request_timeout = request_timeout
+        outer = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, fmt, *args):  # quiet by default
+                pass
+
+            def _reply(self, code: int, payload: Dict[str, Any]) -> None:
+                body = json.dumps(payload).encode()
+                self.send_response(code)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def do_GET(self):
+                if self.path == "/healthz":
+                    s = outer.engine.stats
+                    self._reply(200, {"status": "ok", "stats": {
+                        "requests_completed": s.requests_completed,
+                        "tokens_generated": s.tokens_generated,
+                        "decode_chunks": s.decode_chunks,
+                        "occupancy": round(s.occupancy, 4)}})
+                else:
+                    self._reply(404, {"error": f"no route {self.path}"})
+
+            def do_POST(self):
+                if self.path != "/v1/generate":
+                    self._reply(404, {"error": f"no route {self.path}"})
+                    return
+                try:
+                    n = int(self.headers.get("Content-Length", 0))
+                    req = json.loads(self.rfile.read(n) or b"{}")
+                    self._reply(200, outer._generate(req))
+                except (ValueError, KeyError) as e:
+                    self._reply(400, {"error": str(e)})
+                except TimeoutError as e:
+                    self._reply(504, {"error": str(e)})
+
+        self._httpd = ThreadingHTTPServer((host, port), Handler)
+        self.host, self.port = self._httpd.server_address[:2]
+        self._thread = threading.Thread(target=self._httpd.serve_forever,
+                                        daemon=True, name="unigen-http")
+
+    def _generate(self, req: Dict[str, Any]) -> Dict[str, Any]:
+        if "prompt_ids" in req:
+            ids = [int(t) for t in req["prompt_ids"]]
+        elif "prompt" in req:
+            if self.tokenizer is None:
+                raise ValueError("server has no tokenizer; send prompt_ids")
+            ids = list(self.tokenizer.encode(req["prompt"]))
+        else:
+            raise ValueError("body must contain prompt_ids or prompt")
+        fut = self.engine.submit(
+            ids,
+            max_new_tokens=int(req.get("max_new_tokens",
+                                       self.default_max_new_tokens)),
+            temperature=float(req.get("temperature", 0.0)),
+            eot_token=(int(req["eot_token"]) if req.get("eot_token") is not None
+                       else None))
+        tokens = fut.result(timeout=self.request_timeout)
+        out: Dict[str, Any] = {"tokens": tokens, "request_id": fut.request_id}
+        if self.tokenizer is not None:
+            out["text"] = self.tokenizer.decode(tokens)
+        return out
+
+    def start(self) -> "ServingHTTPServer":
+        self._thread.start()
+        return self
+
+    def close(self) -> None:
+        self._httpd.shutdown()
+        self._httpd.server_close()
+        self._thread.join(timeout=10)
+
+    def __enter__(self) -> "ServingHTTPServer":
+        return self.start()
+
+    def __exit__(self, *exc: Any) -> None:
+        self.close()
