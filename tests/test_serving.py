@@ -223,6 +223,45 @@ def test_engine_occupancy_accounting(model):
     assert 0 < s.occupancy <= 1.0
 
 
+def test_engine_tensor_parallel_matches_unsharded(model, eight_devices):
+    """Scale-out: Megatron TP-sharded params through the UNCHANGED engine
+    programs — GSPMD inserts the collectives; the continuous-batching
+    scheduler is oblivious. Near-total token agreement with the unsharded
+    engine (sharded partial-sum order can flip borderline argmax draws)."""
+    from unigen_tpu.parallel import make_mesh, partition_unigen, shard_params
+
+    cfg, params = model
+    prompts = _prompts(cfg, [5, 11, 8], seed=21)
+
+    def serve(p):
+        with ServingEngine(p, cfg, slots=2, max_len=48, buckets=(16,),
+                           chunk=4) as eng:
+            futs = [eng.submit(x, max_new_tokens=8) for x in prompts]
+            return [f.result(timeout=240) for f in futs]
+
+    ref = serve(params)
+    mesh = make_mesh(data=4, fsdp=1, model=2)
+    params_tp = shard_params(params, partition_unigen(params), mesh)
+    got = serve(params_tp)
+    agree = np.mean([np.mean(np.array(r) == np.array(g))
+                     for r, g in zip(ref, got)])
+    assert agree >= 0.95, f"TP engine agreement {agree:.2f}"
+
+
+def test_engine_stream_matches_result(model):
+    """stream() yields exactly the tokens result() returns, incrementally."""
+    cfg, params = model
+    prompts = _prompts(cfg, [6, 9], seed=13)
+    with ServingEngine(params, cfg, slots=2, max_len=32, buckets=(16,),
+                       chunk=3) as eng:
+        futs = [eng.submit(p, max_new_tokens=7) for p in prompts]
+        streamed = [list(f.stream(timeout=120)) for f in futs]
+        results = [f.result(timeout=120) for f in futs]
+    assert streamed == results
+    for p, g in zip(prompts, results):
+        assert g == _reference_greedy(cfg, params, p, 7)
+
+
 # ---------------------------------------------------------------------------
 # HTTP server
 # ---------------------------------------------------------------------------
@@ -266,4 +305,20 @@ def test_http_server_end_to_end(model):
             assert False, "expected HTTP 400"
         except urllib.error.HTTPError as e:
             assert e.code == 400
+
+        # SSE streaming: per-token events then a final done event
+        sreq = urllib.request.Request(
+            url + "/v1/generate",
+            data=json.dumps({"prompt_ids": prompts[0], "max_new_tokens": 6,
+                             "stream": True}).encode(),
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(sreq, timeout=120) as r:
+            assert r.headers["Content-Type"] == "text/event-stream"
+            events = [json.loads(line[len(b"data: "):])
+                      for line in r.read().splitlines()
+                      if line.startswith(b"data: ")]
+        assert events[-1]["done"] is True
+        streamed = [e["token"] for e in events[:-1]]
+        assert streamed == events[-1]["tokens"]
+        assert streamed == _reference_greedy(cfg, params, prompts[0], 6)
     eng.close()

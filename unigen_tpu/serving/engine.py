@@ -39,7 +39,7 @@ import itertools
 import queue
 import threading
 from functools import partial
-from typing import Any, Dict, List, Optional, Sequence, Tuple
+from typing import Any, List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -159,21 +159,45 @@ def _admit_embeds(params, cache, last_tok, slot, inputs_embeds, attn_mask,
 # ---------------------------------------------------------------------------
 
 class GenerationResult:
-    """Future for one request; ``result()`` blocks until the tokens are ready."""
+    """Future for one request; ``result()`` blocks until the tokens are ready.
+
+    ``stream()`` yields tokens incrementally as decode chunks are harvested
+    (one burst per engine chunk) — the serving front end's SSE path.
+    """
 
     def __init__(self, rid: int):
         self.request_id = rid
         self._event = threading.Event()
         self._tokens: Optional[List[int]] = None
         self._error: Optional[BaseException] = None
+        self._stream_q: "queue.Queue[Optional[int]]" = queue.Queue()
+
+    def _push(self, token: int) -> None:
+        self._stream_q.put(token)
 
     def _resolve(self, tokens: List[int]) -> None:
         self._tokens = tokens
         self._event.set()
+        self._stream_q.put(None)
 
     def _fail(self, err: BaseException) -> None:
         self._error = err
         self._event.set()
+        self._stream_q.put(None)
+
+    def stream(self, timeout: Optional[float] = None):
+        """Yield token ids as they are generated; stops at request completion.
+
+        Only tokens within the request's budget (and up to/including eot) are
+        yielded — identical content to ``result()``, delivered incrementally.
+        """
+        while True:
+            tok = self._stream_q.get(timeout=timeout)
+            if tok is None:
+                if self._error is not None:
+                    raise self._error
+                return
+            yield tok
 
     def done(self) -> bool:
         return self._event.is_set()
@@ -308,6 +332,8 @@ class ServingEngine:
             attn_mask=np.asarray(attn_mask, bool)))
 
     def _check_fit(self, bucket_len: int, max_new: int) -> None:
+        if max_new < 1:
+            raise ValueError(f"max_new_tokens must be >= 1, got {max_new}")
         if bucket_len + max_new > self.max_len:
             raise ValueError(
                 f"bucket {bucket_len} + max_new_tokens {max_new} exceeds the "
@@ -332,7 +358,15 @@ class ServingEngine:
                 if self._active.any():
                     self._decode_and_harvest()
         except BaseException as e:  # resolve all futures so callers unblock
-            for req in self._pending + [r for r in self._slot_req if r]:
+            undrained = []
+            try:
+                while True:
+                    item = self._queue.get(block=False)
+                    if item is not None:
+                        undrained.append(item)
+            except queue.Empty:
+                pass
+            for req in self._pending + undrained + [r for r in self._slot_req if r]:
                 req.future._fail(e)
             raise
 
@@ -390,6 +424,7 @@ class ServingEngine:
                 continue
             for t in toks[slot]:
                 req.tokens.append(int(t))
+                req.future._push(int(t))
                 self.stats.tokens_generated += 1
                 if (req.eot_token is not None and t == req.eot_token) or \
                         len(req.tokens) >= req.max_new_tokens:

@@ -73,18 +73,42 @@ class ServingHTTPServer:
                 try:
                     n = int(self.headers.get("Content-Length", 0))
                     req = json.loads(self.rfile.read(n) or b"{}")
-                    self._reply(200, outer._generate(req))
+                    if req.get("stream"):
+                        self._stream(req)
+                    else:
+                        self._reply(200, outer._generate(req))
                 except (ValueError, KeyError) as e:
                     self._reply(400, {"error": str(e)})
                 except TimeoutError as e:
                     self._reply(504, {"error": str(e)})
+
+            def _stream(self, req: Dict[str, Any]) -> None:
+                """Server-sent events: one `data:` line per token burst, then a
+                final event with the assembled result."""
+                fut = outer._submit(req)
+                self.send_response(200)
+                self.send_header("Content-Type", "text/event-stream")
+                self.send_header("Cache-Control", "no-cache")
+                self.end_headers()
+                tokens = []
+                for tok in fut.stream(timeout=outer.request_timeout):
+                    tokens.append(tok)
+                    self.wfile.write(
+                        f"data: {json.dumps({'token': tok})}\n\n".encode())
+                    self.wfile.flush()
+                final: Dict[str, Any] = {"done": True, "tokens": tokens,
+                                         "request_id": fut.request_id}
+                if outer.tokenizer is not None:
+                    final["text"] = outer.tokenizer.decode(tokens)
+                self.wfile.write(f"data: {json.dumps(final)}\n\n".encode())
+                self.wfile.flush()
 
         self._httpd = ThreadingHTTPServer((host, port), Handler)
         self.host, self.port = self._httpd.server_address[:2]
         self._thread = threading.Thread(target=self._httpd.serve_forever,
                                         daemon=True, name="unigen-http")
 
-    def _generate(self, req: Dict[str, Any]) -> Dict[str, Any]:
+    def _submit(self, req: Dict[str, Any]):
         if "prompt_ids" in req:
             ids = [int(t) for t in req["prompt_ids"]]
         elif "prompt" in req:
@@ -93,13 +117,16 @@ class ServingHTTPServer:
             ids = list(self.tokenizer.encode(req["prompt"]))
         else:
             raise ValueError("body must contain prompt_ids or prompt")
-        fut = self.engine.submit(
+        return self.engine.submit(
             ids,
             max_new_tokens=int(req.get("max_new_tokens",
                                        self.default_max_new_tokens)),
             temperature=float(req.get("temperature", 0.0)),
             eot_token=(int(req["eot_token"]) if req.get("eot_token") is not None
                        else None))
+
+    def _generate(self, req: Dict[str, Any]) -> Dict[str, Any]:
+        fut = self._submit(req)
         tokens = fut.result(timeout=self.request_timeout)
         out: Dict[str, Any] = {"tokens": tokens, "request_id": fut.request_id}
         if self.tokenizer is not None:
