@@ -306,6 +306,32 @@ def test_lmms_adapter_batched_matches_batch1(pipe):
     assert ab.generate_until(reqs) == a1.generate_until(reqs)
 
 
+def test_lmms_adapter_serving_matches_static(pipe):
+    """The continuous-batching generate_until (serving=True) must reproduce the
+    static batched path request-for-request on a greedy mixed-budget set:
+    varied question lengths (both sides of the l2 bucket), varied
+    max_new_tokens, an 'until' stop, and more requests than engine slots."""
+    from PIL import Image
+    from unigen_tpu.evaluation.lmms_adapter import UniGenLmmsAdapter
+    imgs = [Image.new("RGB", (40, 30), (30 * i % 255, 10 * i, 120))
+            for i in range(7)]
+    long_q = "please describe every object and its color in this picture " * 3
+    reqs = [
+        ("what is shown?", {"max_new_tokens": 3}, imgs[0]),
+        (long_q, {"max_new_tokens": 5}, imgs[1]),
+        ("what color?", {"max_new_tokens": 2}, imgs[2]),
+        ("count the objects", {"max_new_tokens": 4, "until": ["\n"]}, imgs[3]),
+        ("is it red?", {"max_new_tokens": 6}, imgs[4]),
+        ("short?", {"max_new_tokens": 2}, imgs[5]),
+        ("why?", {"max_new_tokens": 3}, imgs[6]),
+    ]
+    static = UniGenLmmsAdapter(pipe, use_system_prompt=True, batch_size=4)
+    serving = UniGenLmmsAdapter(pipe, use_system_prompt=True, batch_size=4,
+                                serving=True, serving_slots=3, serving_chunk=2)
+    assert serving.generate_until(reqs) == static.generate_until(reqs)
+    assert serving.generate_until([]) == []
+
+
 def test_vqa_splice_preserves_question_tokens(pipe):
     """Regression: mmu_conv drops input_ids[:, 1:]; the pipeline's question
     template must therefore carry the '<|im_start|>user\\n' prefix so no

@@ -51,6 +51,11 @@ class UniGenLmmsAdapter:
     use_system_prompt: bool = True
     seed: int = 0
     batch_size: int = 8                    # device batch for generate_until
+    serving: bool = False                  # continuous batching via ServingEngine
+    serving_slots: int = 16
+    serving_chunk: int = 8
+    serving_quantized_cache: bool = False
+    request_timeout: float = 3600.0
 
     def _prepare_image(self, images) -> np.ndarray:
         if isinstance(images, (list, tuple)):
@@ -98,6 +103,16 @@ class UniGenLmmsAdapter:
             return (th, tw, 3)
         return (vcfg.image_size, vcfg.image_size, 3)
 
+    def _num_patches(self, images) -> int:
+        """Vision-token count the splice will contain, from image headers only
+        (drives the serving path's bucket precompute — no pixel decode)."""
+        from ..models import siglip2
+        vcfg = self.pipeline.vision_cfg
+        if isinstance(vcfg, siglip2.Siglip2Config):
+            th, tw, _ = self._prepared_shape(images)
+            return (th // vcfg.patch_size) * (tw // vcfg.patch_size)
+        return (vcfg.image_size // vcfg.patch_size) ** 2
+
     def _gen_key(self, gen_kwargs: Dict) -> tuple:
         """Device-program bucket for one request: everything that forces a
         distinct compiled decode (stop strings are host-side and excluded)."""
@@ -117,7 +132,14 @@ class UniGenLmmsAdapter:
         of the chip; batching recovers the serving-table throughput
         (BENCH.md VQA decode section) with unchanged per-request outputs.
         Output order always matches request order.
+
+        With ``serving=True`` the requests run through the continuous-batching
+        ``ServingEngine`` instead: a freed slot is refilled immediately, so a
+        mixed-budget task never waits on its slowest wave (the static path runs
+        every batch at its longest request).
         """
+        if self.serving:
+            return self._generate_until_serving(requests)
         out: List[Optional[str]] = [None] * len(requests)
         key = jax.random.key(self.seed)
         sys_ids = None
@@ -162,6 +184,82 @@ class UniGenLmmsAdapter:
                         if stop and stop in text:
                             text = text.split(stop)[0]
                     out[i] = text
+        return out
+
+    def _generate_until_serving(self, requests) -> List[str]:
+        """generate_until over the continuous-batching engine.
+
+        Vision prefill stays in device chunks of ``batch_size`` (host memory
+        O(chunk), as the static path), but every request then enters one
+        shared-slot decode: per-request max_new_tokens/temperature ride the
+        engine's per-row parameters, so short answers free their slot for the
+        next request instead of idling until the wave's longest budget drains.
+        Bucket precompute is header-reads only — splice length = system + 3
+        head tokens + vision patches + bucketed question tail (pipeline
+        ``vqa_serving_inputs`` builds the actual inputs per chunk).
+        """
+        from ..serving import ServingEngine
+
+        if not requests:
+            return []
+        pipe = self.pipeline
+        eos = pipe.prompting.eos_token_id
+        sys_ids = None
+        if self.use_system_prompt:
+            sys_ids = np.asarray(
+                [pipe.prompting._tokenize(QWEN_SYSTEM_PROMPT)[0]])
+        sys_len = 0 if sys_ids is None else sys_ids.shape[1]
+        l2_bucket = 64
+
+        metas = []  # (splice_len, max_new, temperature, top_k) per request
+        for context, gen_kwargs, images in requests:
+            q_len = len(pipe._vqa_question_ids(context))
+            l2b = -(-q_len // l2_bucket) * l2_bucket
+            splice = sys_len + 3 + self._num_patches(images) + l2b
+            metas.append((splice,
+                          int(gen_kwargs.get("max_new_tokens",
+                                             self.max_new_tokens)),
+                          float(gen_kwargs.get("temperature", 0.0) or 0.0),
+                          gen_kwargs.get("top_k")))
+        buckets = sorted({m[0] for m in metas})
+        max_len = max(m[0] + m[1] for m in metas)
+
+        out: List[Optional[str]] = [None] * len(requests)
+        by_topk: Dict[Any, List[int]] = {}  # top_k is engine-static
+        for i, m in enumerate(metas):
+            by_topk.setdefault(m[3], []).append(i)
+        for top_k, idxs in by_topk.items():
+            results: Dict[int, List[int]] = {}
+            with ServingEngine(pipe.params, pipe.cfg, slots=self.serving_slots,
+                               max_len=max_len, buckets=buckets,
+                               chunk=self.serving_chunk, top_k=top_k,
+                               quantized_cache=self.serving_quantized_cache,
+                               seed=self.seed) as eng:
+                futs: Dict[int, Any] = {}
+                shape_groups: Dict[tuple, List[int]] = {}
+                for i in idxs:
+                    shape_groups.setdefault(
+                        self._prepared_shape(requests[i][2]), []).append(i)
+                for sidx in shape_groups.values():
+                    for start in range(0, len(sidx), self.batch_size):
+                        chunk = sidx[start:start + self.batch_size]
+                        pixels = np.stack([self._prepare_image(requests[i][2])
+                                           for i in chunk])
+                        trips = pipe.vqa_serving_inputs(
+                            pixels, [requests[i][0] for i in chunk],
+                            system_prompt_ids=sys_ids, l2_bucket=l2_bucket)
+                        for i, (emb, attn, plen) in zip(chunk, trips):
+                            futs[i] = eng.submit_embeds(
+                                emb, attn, plen, max_new_tokens=metas[i][1],
+                                temperature=metas[i][2], eot_token=eos)
+                results = {i: f.result(timeout=self.request_timeout)
+                           for i, f in futs.items()}
+            for i, toks in results.items():
+                text = pipe.decode_text(np.asarray([toks], np.int64))[0]
+                for stop in requests[i][1].get("until", []) or []:
+                    if stop and stop in text:
+                        text = text.split(stop)[0]
+                out[i] = text
         return out
 
     def loglikelihood(self, requests) -> List[Tuple[float, bool]]:

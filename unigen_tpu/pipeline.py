@@ -135,6 +135,26 @@ def _mmu_vit_score(params, cfg, part1, part2c, img_embeds, cont_mask, valid_len,
             jnp.where(cont_mask, greedy, True).all(axis=-1))
 
 
+@partial(jax.jit, static_argnames=("sys_len",))
+def _mmu_vit_inputs(params, part1, part2, img_embeds, prompt_len, *, sys_len):
+    """Spliced embeddings + omni attention mask for ONE understanding request —
+    the exact construction ``_mmu_vit_decode`` performs before ``mmu_generate``,
+    returned instead of consumed so the serving engine can admit the request
+    into a continuous batch (``ServingEngine.submit_embeds``). Pad slots beyond
+    ``prompt_len`` are masked out of attention, so bucketing part2 lengths never
+    changes the result."""
+    e1 = unigen.embed_tokens(params, part1)
+    e2 = unigen.embed_tokens(params, part2)
+    embeds = jnp.concatenate([e1, img_embeds.astype(e1.dtype), e2], axis=1)
+    b, l, _ = embeds.shape
+    attn = M.create_attention_mask_for_mmu_vit(
+        b, l, system_prompt_len=sys_len, num_tokens=img_embeds.shape[1],
+        prefix_length=part1.shape[1])
+    keep = jnp.arange(l)[None] < prompt_len[:, None]
+    attn = attn & keep[:, None, None, :] & keep[:, None, :, None]
+    return embeds, attn
+
+
 @partial(jax.jit, static_argnames=("vision_cfg",))
 def _vision_forward(vision_params, vision_cfg, pixels):
     return siglip.forward(vision_params, vision_cfg, pixels)
@@ -293,6 +313,40 @@ class UniGenPipeline:
             jnp.full((b,), l2_real, jnp.int32),
             sys_len=0 if system_prompt_ids is None else system_prompt_ids.shape[1])
         return float(lp[0]), bool(greedy[0])
+
+    def vqa_serving_inputs(
+        self,
+        pixels: Array,
+        questions: Sequence[str],
+        *,
+        system_prompt_ids: Optional[np.ndarray] = None,
+        l2_bucket: int = 64,
+    ) -> List[tuple]:
+        """Per-request (embeds, attn_mask, prompt_len) triples for the
+        continuous-batching engine — ``ServingEngine.submit_embeds`` consumes
+        them directly. Same splice/mask construction as ``understand`` (the
+        lmms generate_until protocol); the question tail is right-padded to a
+        multiple of ``l2_bucket`` so the engine compiles one admit program per
+        bucketed splice length instead of one per question length."""
+        img_embeds = self._image_embeds(pixels)
+        _, p, _ = img_embeds.shape
+        sys_len = 0 if system_prompt_ids is None else system_prompt_ids.shape[1]
+        out = []
+        for i, q in enumerate(questions):
+            q_arr = self._vqa_question_ids(q)[None]
+            part1, part2, _, _ = self.prompting((np.zeros((1, p, 1)), q_arr, None,
+                                                 system_prompt_ids), "mmu_conv")
+            l2 = part2.shape[1]
+            l2b = -(-l2 // l2_bucket) * l2_bucket
+            part2p = np.full((1, l2b), self.prompting.pad_id, np.int64)
+            part2p[0, :l2] = part2[0]
+            plen = part1.shape[1] + p + l2
+            embeds, attn = _mmu_vit_inputs(
+                self.params, jnp.asarray(part1), jnp.asarray(part2p),
+                img_embeds[i:i + 1], jnp.asarray([plen], jnp.int32),
+                sys_len=sys_len)
+            out.append((np.asarray(embeds), np.asarray(attn), plen))
+        return out
 
     def understand(
         self,
