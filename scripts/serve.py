@@ -81,10 +81,21 @@ def main() -> int:
         quantized_cache=bool(s.get("quantized_cache", False)),
         pad_id=pipeline.prompting.pad_id)
 
+    image_engine = None
+    if bool(s.get("images", False)):
+        from unigen_tpu.serving import ImageServingEngine
+        image_engine = ImageServingEngine(
+            pipeline,
+            batch=int(s.get("image_batch", 6)),   # measured chip peak, BENCH.md
+            guidance_scale=float(s.get("guidance_scale", 6.0)),
+            timesteps=int(s.get("timesteps", 50)))
+        logger.info("image serving enabled (batch=%d)", image_engine.batch)
+
     server = ServingHTTPServer(
         engine, host=str(s.get("host", "0.0.0.0")), port=int(s.get("port", 8000)),
         tokenizer=tok,
-        default_max_new_tokens=int(s.get("max_new_tokens", 256)))
+        default_max_new_tokens=int(s.get("max_new_tokens", 256)),
+        image_engine=image_engine)
     # default the stop token for templated prompts (covers stream + non-stream)
     orig = server._submit
 
@@ -103,6 +114,8 @@ def main() -> int:
         logger.info("shutting down")
         server.close()
         engine.close()
+        if image_engine is not None:
+            image_engine.close()
     return 0
 
 

@@ -11,6 +11,9 @@ Endpoints:
                                 (+ optional "max_new_tokens", "temperature",
                                  "eot_token"); returns {"tokens": [...]} and,
                                 when a tokenizer is attached, {"text": "..."}.
+  POST /v1/images            -> body {"prompt": "text"}; returns
+                                {"image_png": base64, "width", "height"}.
+                                Requires an ImageServingEngine (``image_engine``).
 
 The reference has no serving entry point at all; this is a beyond-parity
 subsystem (docs/PARITY.md).
@@ -36,9 +39,10 @@ class ServingHTTPServer:
     def __init__(self, engine: ServingEngine, *, host: str = "127.0.0.1",
                  port: int = 0, tokenizer: Any = None,
                  default_max_new_tokens: int = 128,
-                 request_timeout: float = 600.0):
+                 request_timeout: float = 600.0, image_engine: Any = None):
         self.engine = engine
         self.tokenizer = tokenizer
+        self.image_engine = image_engine
         self.default_max_new_tokens = default_max_new_tokens
         self.request_timeout = request_timeout
         outer = self
@@ -67,13 +71,15 @@ class ServingHTTPServer:
                     self._reply(404, {"error": f"no route {self.path}"})
 
             def do_POST(self):
-                if self.path != "/v1/generate":
+                if self.path not in ("/v1/generate", "/v1/images"):
                     self._reply(404, {"error": f"no route {self.path}"})
                     return
                 try:
                     n = int(self.headers.get("Content-Length", 0))
                     req = json.loads(self.rfile.read(n) or b"{}")
-                    if req.get("stream"):
+                    if self.path == "/v1/images":
+                        self._reply(200, outer._image(req))
+                    elif req.get("stream"):
                         self._stream(req)
                     else:
                         self._reply(200, outer._generate(req))
@@ -124,6 +130,23 @@ class ServingHTTPServer:
             temperature=float(req.get("temperature", 0.0)),
             eot_token=(int(req["eot_token"]) if req.get("eot_token") is not None
                        else None))
+
+    def _image(self, req: Dict[str, Any]) -> Dict[str, Any]:
+        if self.image_engine is None:
+            raise ValueError("server was built without an image engine")
+        if "prompt" not in req:
+            raise ValueError("body must contain prompt")
+        fut = self.image_engine.submit(str(req["prompt"]))
+        image = fut.result(timeout=self.request_timeout)
+        import base64
+        import io
+
+        from PIL import Image
+        buf = io.BytesIO()
+        Image.fromarray(image).save(buf, format="PNG")
+        return {"image_png": base64.b64encode(buf.getvalue()).decode("ascii"),
+                "width": int(image.shape[1]), "height": int(image.shape[0]),
+                "request_id": fut.request_id}
 
     def _generate(self, req: Dict[str, Any]) -> Dict[str, Any]:
         fut = self._submit(req)
