@@ -248,6 +248,42 @@ def test_engine_tensor_parallel_matches_unsharded(model, eight_devices):
     assert agree >= 0.95, f"TP engine agreement {agree:.2f}"
 
 
+def test_engine_concurrent_submitters_exact(model):
+    """Stress: 4 threads × 4 requests each race submissions while consuming a
+    mix of stream() and result(); every output must still equal the
+    single-request reference decoder exactly (admission order is arbitrary,
+    results must not be)."""
+    cfg, params = model
+    rng = np.random.default_rng(7)
+    lens = rng.integers(4, 13, size=16).tolist()
+    prompts = _prompts(cfg, lens, seed=7)
+    budgets = rng.integers(2, 7, size=16).tolist()
+    got: dict = {}
+    err: list = []
+    with ServingEngine(params, cfg, slots=3, max_len=32, buckets=(16,),
+                       chunk=3) as eng:
+        def worker(k):
+            try:
+                futs = [(i, eng.submit(prompts[i], max_new_tokens=budgets[i]))
+                        for i in range(k, 16, 4)]
+                for i, f in futs:
+                    if i % 2:
+                        got[i] = list(f.stream(timeout=300))
+                    else:
+                        got[i] = f.result(timeout=300)
+            except BaseException as e:  # surface failures to the main thread
+                err.append(e)
+        threads = [threading.Thread(target=worker, args=(k,)) for k in range(4)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=600)
+    assert not err, err
+    assert len(got) == 16
+    for i in range(16):
+        assert got[i] == _reference_greedy(cfg, params, prompts[i], budgets[i])
+
+
 def test_engine_stream_matches_result(model):
     """stream() yields exactly the tokens result() returns, incrementally."""
     cfg, params = model
