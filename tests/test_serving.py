@@ -248,6 +248,87 @@ def test_engine_tensor_parallel_matches_unsharded(model, eight_devices):
     assert agree >= 0.95, f"TP engine agreement {agree:.2f}"
 
 
+def test_draft_lookup_unit():
+    """Device prompt-lookup drafting: proposes the tokens that followed the
+    most recent earlier occurrence of the current bigram, respects ctx_start
+    and the valid-region bound, zeros when no match exists."""
+    from unigen_tpu.serving.engine import _draft_lookup
+    #          0  1  2  3  4  5  6  7  8  9
+    ctx = jnp.asarray([[5, 7, 1, 2, 3, 9, 5, 7, 0, 0],
+                       [4, 4, 4, 4, 4, 4, 4, 4, 0, 0],
+                       [1, 2, 3, 4, 5, 6, 7, 8, 0, 0]], jnp.int32)
+    ctx_start = jnp.asarray([0, 0, 6], jnp.int32)
+    idx = jnp.asarray([8, 8, 8], jnp.int32)
+    tok = jnp.asarray([7, 4, 8], jnp.int32)   # next input token per row
+    prop = np.asarray(_draft_lookup(ctx, ctx_start, idx, tok, 3))
+    # row 0: bigram (ctx[7]=7? no: tprev=ctx[idx-1]=ctx[7]=7, tok=7) ->
+    # matches need ctx[j]=7 & ctx[j+1]=7: none -> zeros
+    assert prop[0].tolist() == [0, 0, 0]
+    # row 1: tprev=4, tok=4 -> last valid j with j+1 < idx-1 is j=5;
+    # proposal = ctx[7:10] = [4, 0, 0]
+    assert prop[1].tolist() == [4, 0, 0]
+    # row 2: tprev=ctx[7]=8, tok=8; the only (8,*) is at j=7 (excluded);
+    # ctx_start=6 also hides the early region -> zeros
+    assert prop[2].tolist() == [0, 0, 0]
+
+
+def test_draft_lookup_proposes_continuation():
+    from unigen_tpu.serving.engine import _draft_lookup
+    # history: ... 1 2 3 4 ... then current tail ends with 1, next tok 2
+    ctx = jnp.asarray([[9, 1, 2, 3, 4, 5, 8, 1, 0, 0, 0, 0]], jnp.int32)
+    prop = np.asarray(_draft_lookup(ctx, jnp.asarray([0]),
+                                    jnp.asarray([8], jnp.int32),
+                                    jnp.asarray([2], jnp.int32), 3))
+    assert prop[0].tolist() == [3, 4, 5]
+
+
+@pytest.mark.parametrize("spec_k", [2, 4])
+def test_engine_speculative_greedy_exact(model, spec_k):
+    """speculate_k>0 must emit token-identical greedy streams to the plain
+    engine/reference decoder, across staggered admissions and eot stops."""
+    cfg, params = model
+    prompts = _prompts(cfg, [6, 11, 4, 9], seed=31)
+    budgets = [7, 5, 9, 6]
+    with ServingEngine(params, cfg, slots=2, max_len=48, buckets=(16,),
+                       chunk=3, speculate_k=spec_k) as eng:
+        futs = [eng.submit(p, max_new_tokens=b)
+                for p, b in zip(prompts, budgets)]
+        got = [f.result(timeout=300) for f in futs]
+    for p, b, g in zip(prompts, budgets, got):
+        assert g == _reference_greedy(cfg, params, p, b)
+
+
+def test_engine_speculative_accepts_on_looping_model(model):
+    """A tiny random model loops quickly under greedy decode; once the loop is
+    in the context buffer the lookup draft predicts it and the engine must
+    accept >1 token per occupied step on average (the speedup mechanism),
+    while remaining exact."""
+    cfg, params = model
+    prompt = _prompts(cfg, [5], seed=3)[0]
+    with ServingEngine(params, cfg, slots=1, max_len=96, buckets=(16,),
+                       chunk=4, speculate_k=4) as eng:
+        got = eng.submit(prompt, max_new_tokens=64).result(timeout=600)
+        rate = eng.stats.tokens_generated / max(eng.stats.busy_steps, 1)
+    assert got == _reference_greedy(cfg, params, prompt, 64)
+    assert rate > 1.05, f"no speculative acceptance (rate={rate:.2f})"
+
+
+def test_engine_speculative_sampled_matches_plain(model):
+    """Sampled rows pin acceptance to 1 with the plain path's RNG pattern:
+    same seed => identical sampled tokens with and without speculation."""
+    cfg, params = model
+    prompts = _prompts(cfg, [6, 8], seed=17)
+
+    def run(spec_k):
+        with ServingEngine(params, cfg, slots=2, max_len=48, buckets=(16,),
+                           chunk=3, seed=11, speculate_k=spec_k) as eng:
+            futs = [eng.submit(p, max_new_tokens=6, temperature=0.8)
+                    for p in prompts]
+            return [f.result(timeout=300) for f in futs]
+
+    assert run(0) == run(3)
+
+
 def test_engine_concurrent_submitters_exact(model):
     """Stress: 4 threads × 4 requests each race submissions while consuming a
     mix of stream() and result(); every output must still equal the

@@ -131,6 +131,99 @@ def _admit_core(params, cfg: UniGenConfig, cache: qwen2.KVCache, last_tok, slot,
     return cache, last_tok
 
 
+def _draft_lookup(ctx: Array, ctx_start: Array, idx: Array, tok: Array,
+                  k: int) -> Array:
+    """Prompt-lookup draft, fully on device: propose the ``k`` tokens that
+    followed the most recent earlier occurrence of the current bigram
+    (ctx[idx-1], tok) in each row's context buffer.
+
+    ``ctx`` [B, C] holds each slot's token history (prompt + accepted decode
+    tokens); valid entries are ``ctx_start <= j < idx``; ``tok`` [B] is the
+    next input token (sampled last step, not yet written). Rows without a
+    match propose zeros — the verify step then accepts only the model's own
+    next token, so a bad draft costs nothing but the (k+1)-wide forward.
+    """
+    b, c = ctx.shape
+    pos = jnp.arange(c)
+    tprev = jnp.take_along_axis(ctx, jnp.maximum(idx - 1, 0)[:, None], axis=1)
+    nxt = jnp.concatenate([ctx[:, 1:], jnp.zeros((b, 1), ctx.dtype)], axis=1)
+    match = ((ctx == tprev) & (nxt == tok[:, None])
+             & (pos[None] >= ctx_start[:, None])
+             & (pos[None] + 1 < idx[:, None] - 1))   # exclude the bigram itself
+    j_best = jnp.max(jnp.where(match, pos[None], -1), axis=1)
+    found = j_best >= 0
+
+    def one(row, j):
+        return jax.lax.dynamic_slice(row, (j,), (k,))
+
+    prop = jax.vmap(one)(ctx, jnp.clip(j_best + 2, 0, c - k))
+    return jnp.where(found[:, None], prop, 0)
+
+
+@partial(jax.jit, static_argnames=("cfg", "steps", "k", "top_k"),
+         donate_argnums=(1, 2, 3))
+def _spec_decode_chunk(params, cache: qwen2.KVCache, last_tok: Array, ctx: Array,
+                       ctx_start: Array, active: Array, temp: Array, key: Array,
+                       *, cfg: UniGenConfig, steps: int, k: int,
+                       top_k: Optional[int]
+                       ) -> Tuple[qwen2.KVCache, Array, Array, Array, Array]:
+    """``steps`` speculative decode steps; each step verifies a ``k``-token
+    prompt-lookup draft in one (k+1)-wide cached forward and advances every
+    row by its accepted count (1..k+1 tokens — the per-row cache index makes
+    variable advance native). Greedy rows (temp==0) accept the longest prefix
+    of the draft matching the model's own argmax; sampled rows pin acceptance
+    to 1 with the exact RNG pattern of the non-speculative chunk, so both
+    paths emit token-identical streams to ``_decode_chunk``.
+
+    Rejected draft positions leave stale K/V (and ctx) entries above each
+    row's index; the NEXT step's (k+1)-wide write starts at the new index and
+    spans the whole stale region, and the decode mask never looks above the
+    index — so stale state is overwritten before it is ever visible.
+
+    Returns (cache, last_tok, ctx, toks [B, steps, k+1], counts [B, steps]);
+    the host takes ``toks[b, s, :counts[b, s]]`` per step — one fetch per
+    chunk, same sync discipline as the plain path.
+    """
+
+    def step(carry, _):
+        cache_c, tok, ctx_c, kk = carry
+        kk, k_s = jax.random.split(kk)
+        idx = cache_c.index
+        prop = _draft_lookup(ctx_c, ctx_start, idx, tok, k)
+        inputs = jnp.concatenate([tok[:, None], prop], axis=1)       # [B, k+1]
+        emb = embed_tokens(params, inputs)
+        hidden, cache_n = qwen2.forward(params["llm"], cfg.llm,
+                                        inputs_embeds=emb, cache=cache_c)
+        lg = qwen2.logits(params["llm"], cfg.llm, hidden).astype(jnp.float32)
+        g0 = _sample_rows(k_s, lg[:, 0], temp, top_k)                # RNG-exact
+        g = jnp.concatenate([g0[:, None], jnp.argmax(lg[:, 1:], axis=-1)], axis=1)
+        ok = jnp.cumprod((prop == g[:, :k]).astype(jnp.int32), axis=1)
+        acc = jnp.where(active & (temp == 0.0),
+                        1 + ok.sum(axis=1), 1).astype(jnp.int32)
+        emit = jnp.concatenate([tok[:, None], g[:, :k]], axis=1)     # [B, k+1]
+        new_tok = jnp.where(
+            active, jnp.take_along_axis(g, (acc - 1)[:, None], axis=1)[:, 0], 0)
+        # accepted tokens extend the context buffer at positions idx..idx+k
+        # (over-writes past the accepted count are stale, never matched: the
+        # draft only reads below the row's index)
+        def wr(row, chunk_, i):
+            return jax.lax.dynamic_update_slice(row, chunk_, (i,))
+        ctx_n = jax.vmap(wr)(ctx_c, emit.astype(ctx_c.dtype), idx)
+        cache_n = cache_n._replace(index=jnp.where(active, idx + acc, idx))
+        return (cache_n, new_tok, ctx_n, kk), (emit, acc)
+
+    (cache, last_tok, ctx, _), (toks, counts) = jax.lax.scan(
+        step, (cache, last_tok, ctx, key), None, length=steps)
+    return (cache, last_tok, ctx,
+            jnp.moveaxis(toks, 0, 1), jnp.moveaxis(counts, 0, 1))
+
+
+@partial(jax.jit, donate_argnums=(0,))
+def _ctx_install(ctx: Array, slot, row: Array) -> Array:
+    """Write one request's known token ids into its slot's context row."""
+    return jax.lax.dynamic_update_slice(ctx, row.astype(ctx.dtype), (slot, 0))
+
+
 @partial(jax.jit, static_argnames=("cfg", "top_k"), donate_argnums=(1, 2))
 def _admit_ids(params, cache, last_tok, slot, input_ids, prompt_len, temp, key,
                *, cfg: UniGenConfig, top_k: Optional[int]):
@@ -221,6 +314,7 @@ class _Request:
     input_ids: Optional[np.ndarray] = None        # [1, L_bucket] (text path)
     inputs_embeds: Optional[np.ndarray] = None    # [1, L, D] (embeddings path)
     attn_mask: Optional[np.ndarray] = None        # [1, 1, L, L]
+    lookup_ids: Optional[np.ndarray] = None       # [1, L] draft context (embeds)
     tokens: List[int] = dataclasses.field(default_factory=list)
 
 
@@ -254,13 +348,22 @@ class ServingEngine:
     the understanding (image-prefix) path — the same inputs
     generation/decode.py::mmu_generate accepts.
 
+    ``speculate_k > 0`` enables prompt-lookup speculative decoding: every step
+    verifies a k-token draft proposed ON DEVICE from the slot's own token
+    history (no extra host syncs), and greedy rows advance by 1..k+1 tokens
+    per step. Output streams are token-identical to the plain engine for both
+    greedy and sampled requests; the win is throughput on repetitive text
+    (answers quoting the prompt, looping structure). Mean accepted tokens per
+    occupied step = stats.tokens_generated / stats.busy_steps.
+
     One scheduler thread owns the device; submissions from any thread.
     """
 
     def __init__(self, params, cfg: UniGenConfig, *, slots: int = 8,
                  max_len: int = 1024, buckets: Sequence[int] = (64, 128, 256, 512),
                  chunk: int = 8, top_k: Optional[int] = None,
-                 quantized_cache: bool = False, pad_id: int = 0, seed: int = 0):
+                 quantized_cache: bool = False, pad_id: int = 0, seed: int = 0,
+                 speculate_k: int = 0):
         if max(buckets) > max_len:
             raise ValueError(f"bucket {max(buckets)} exceeds max_len {max_len}")
         self.params = params
@@ -271,11 +374,16 @@ class ServingEngine:
         self.chunk = chunk
         self.top_k = top_k
         self.pad_id = pad_id
+        self.speculate_k = speculate_k
         self.stats = EngineStats()
 
         self._cache = qwen2.init_kv_cache(cfg.llm, slots, max_len,
                                           quantize=quantized_cache,
                                           per_row_index=True)
+        if speculate_k > 0:
+            # per-slot token history for the on-device prompt-lookup draft
+            self._ctx = jnp.zeros((slots, max_len), jnp.int32)
+            self._ctx_start = np.zeros((slots,), np.int32)
         self._last_tok = jnp.zeros((slots,), jnp.int32)
         self._key = jax.random.key(seed)
         self._temp = np.zeros((slots,), np.float32)
@@ -314,29 +422,41 @@ class ServingEngine:
 
     def submit_embeds(self, inputs_embeds: np.ndarray, attn_mask: np.ndarray,
                       prompt_len: int, *, max_new_tokens: int = 128,
-                      temperature: float = 0.0, eot_token: Optional[int] = None
+                      temperature: float = 0.0, eot_token: Optional[int] = None,
+                      lookup_ids: Optional[Sequence[int]] = None
                       ) -> GenerationResult:
         """Queue a continuous-embedding prompt (understanding path).
 
         ``inputs_embeds``: [1, L, D] already padded to a bucket length;
         ``attn_mask``: [1, 1, L, L] bool omni mask (ops/masks.py builds it).
+        ``lookup_ids`` (speculation only): the request's known token ids at
+        their splice positions, to seed the prompt-lookup draft — without it
+        an embeds request drafts from its own generated tokens only.
         """
         l = inputs_embeds.shape[1]
         if l not in self.buckets:
             raise ValueError(f"embeddings length {l} must be one of {self.buckets}")
         self._check_fit(l, max_new_tokens)
+        lk = None
+        if lookup_ids is not None and self.speculate_k > 0:
+            lk = np.zeros((1, l), np.int32)
+            ids = np.asarray(lookup_ids, np.int32).reshape(-1)[:l]
+            lk[0, :len(ids)] = ids
         return self._enqueue(_Request(
             rid=next(self._rid), future=None, prompt_len=prompt_len,
             max_new_tokens=max_new_tokens, temperature=temperature,
             eot_token=eot_token, inputs_embeds=np.asarray(inputs_embeds),
-            attn_mask=np.asarray(attn_mask, bool)))
+            attn_mask=np.asarray(attn_mask, bool), lookup_ids=lk))
 
     def _check_fit(self, bucket_len: int, max_new: int) -> None:
         if max_new < 1:
             raise ValueError(f"max_new_tokens must be >= 1, got {max_new}")
-        if bucket_len + max_new > self.max_len:
+        # speculation writes up to k draft positions past the final accepted
+        # token — the row needs that headroom so cache writes never clamp
+        if bucket_len + max_new + self.speculate_k > self.max_len:
             raise ValueError(
-                f"bucket {bucket_len} + max_new_tokens {max_new} exceeds the "
+                f"bucket {bucket_len} + max_new_tokens {max_new} (+ "
+                f"speculate_k {self.speculate_k}) exceeds the "
                 f"engine max_len {self.max_len}")
 
     def _enqueue(self, req: _Request) -> GenerationResult:
@@ -402,6 +522,17 @@ class ServingEngine:
                     self.params, self._cache, self._last_tok, slot,
                     jnp.asarray(req.inputs_embeds), jnp.asarray(req.attn_mask),
                     plen, temp, k_adm, cfg=self.cfg, top_k=self.top_k)
+            if self.speculate_k > 0:
+                if req.input_ids is not None:
+                    row, start = req.input_ids, 0
+                elif req.lookup_ids is not None:
+                    row, start = req.lookup_ids, 0
+                else:  # no ids known: draft only from the generated region
+                    row = np.zeros((1, req.inputs_embeds.shape[1]), np.int32)
+                    start = req.prompt_len
+                self._ctx = _ctx_install(self._ctx, np.int32(slot),
+                                         jnp.asarray(row, jnp.int32))
+                self._ctx_start[slot] = start
             # no host fetch here: the request's first token (sampled in the
             # admit program) arrives through the next decode chunk's outputs
             self._slot_req[slot] = req
@@ -410,11 +541,22 @@ class ServingEngine:
 
     def _decode_and_harvest(self) -> None:
         self._key, k_dec = jax.random.split(self._key)
-        self._cache, self._last_tok, toks = _decode_chunk(
-            self.params, self._cache, self._last_tok, jnp.asarray(self._active),
-            jnp.asarray(self._temp), k_dec, cfg=self.cfg, steps=self.chunk,
-            top_k=self.top_k)
-        toks = np.asarray(toks)  # [B, chunk] — the per-chunk host sync
+        if self.speculate_k > 0:
+            (self._cache, self._last_tok, self._ctx, toks,
+             counts) = _spec_decode_chunk(
+                self.params, self._cache, self._last_tok, self._ctx,
+                jnp.asarray(self._ctx_start), jnp.asarray(self._active),
+                jnp.asarray(self._temp), k_dec, cfg=self.cfg, steps=self.chunk,
+                k=self.speculate_k, top_k=self.top_k)
+            toks, counts = np.asarray(toks), np.asarray(counts)
+        else:
+            self._cache, self._last_tok, toks = _decode_chunk(
+                self.params, self._cache, self._last_tok,
+                jnp.asarray(self._active), jnp.asarray(self._temp), k_dec,
+                cfg=self.cfg, steps=self.chunk, top_k=self.top_k)
+            toks = np.asarray(toks)[:, :, None]  # [B, chunk, 1]
+            counts = np.ones(toks.shape[:2], np.int32)
+        # one fetch per chunk either way (toks [B, steps, k+1] + counts)
         self.stats.decode_chunks += 1
         self.stats.slot_steps += self.slots * self.chunk
         self.stats.busy_steps += int(self._active.sum()) * self.chunk
@@ -422,7 +564,9 @@ class ServingEngine:
             req = self._slot_req[slot]
             if req is None:
                 continue
-            for t in toks[slot]:
+            accepted = [t for s in range(self.chunk)
+                        for t in toks[slot, s, :counts[slot, s]]]
+            for t in accepted:
                 req.tokens.append(int(t))
                 req.future._push(int(t))
                 self.stats.tokens_generated += 1
