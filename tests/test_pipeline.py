@@ -306,11 +306,13 @@ def test_lmms_adapter_batched_matches_batch1(pipe):
     assert ab.generate_until(reqs) == a1.generate_until(reqs)
 
 
-def test_lmms_adapter_serving_matches_static(pipe):
+@pytest.mark.parametrize("spec_k", [0, 3])
+def test_lmms_adapter_serving_matches_static(pipe, spec_k):
     """The continuous-batching generate_until (serving=True) must reproduce the
     static batched path request-for-request on a greedy mixed-budget set:
     varied question lengths (both sides of the l2 bucket), varied
-    max_new_tokens, an 'until' stop, and more requests than engine slots."""
+    max_new_tokens, an 'until' stop, and more requests than engine slots —
+    with and without speculative decoding (lookup_ids seeded from the splice)."""
     from PIL import Image
     from unigen_tpu.evaluation.lmms_adapter import UniGenLmmsAdapter
     imgs = [Image.new("RGB", (40, 30), (30 * i % 255, 10 * i, 120))
@@ -327,7 +329,8 @@ def test_lmms_adapter_serving_matches_static(pipe):
     ]
     static = UniGenLmmsAdapter(pipe, use_system_prompt=True, batch_size=4)
     serving = UniGenLmmsAdapter(pipe, use_system_prompt=True, batch_size=4,
-                                serving=True, serving_slots=3, serving_chunk=2)
+                                serving=True, serving_slots=3, serving_chunk=2,
+                                serving_speculate_k=spec_k)
     assert serving.generate_until(reqs) == static.generate_until(reqs)
     assert serving.generate_until([]) == []
 

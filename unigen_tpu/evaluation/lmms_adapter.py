@@ -55,6 +55,7 @@ class UniGenLmmsAdapter:
     serving_slots: int = 16
     serving_chunk: int = 8
     serving_quantized_cache: bool = False
+    serving_speculate_k: int = 0           # prompt-lookup speculative decode
     request_timeout: float = 3600.0
 
     def _prepare_image(self, images) -> np.ndarray:
@@ -222,7 +223,7 @@ class UniGenLmmsAdapter:
                           float(gen_kwargs.get("temperature", 0.0) or 0.0),
                           gen_kwargs.get("top_k")))
         buckets = sorted({m[0] for m in metas})
-        max_len = max(m[0] + m[1] for m in metas)
+        max_len = max(m[0] + m[1] for m in metas) + self.serving_speculate_k
 
         out: List[Optional[str]] = [None] * len(requests)
         by_topk: Dict[Any, List[int]] = {}  # top_k is engine-static
@@ -234,6 +235,7 @@ class UniGenLmmsAdapter:
                                max_len=max_len, buckets=buckets,
                                chunk=self.serving_chunk, top_k=top_k,
                                quantized_cache=self.serving_quantized_cache,
+                               speculate_k=self.serving_speculate_k,
                                seed=self.seed) as eng:
                 futs: Dict[int, Any] = {}
                 shape_groups: Dict[tuple, List[int]] = {}
@@ -248,10 +250,11 @@ class UniGenLmmsAdapter:
                         trips = pipe.vqa_serving_inputs(
                             pixels, [requests[i][0] for i in chunk],
                             system_prompt_ids=sys_ids, l2_bucket=l2_bucket)
-                        for i, (emb, attn, plen) in zip(chunk, trips):
+                        for i, (emb, attn, plen, lookup) in zip(chunk, trips):
                             futs[i] = eng.submit_embeds(
                                 emb, attn, plen, max_new_tokens=metas[i][1],
-                                temperature=metas[i][2], eot_token=eos)
+                                temperature=metas[i][2], eot_token=eos,
+                                lookup_ids=lookup)
                 results = {i: f.result(timeout=self.request_timeout)
                            for i, f in futs.items()}
             for i, toks in results.items():

@@ -322,12 +322,15 @@ class UniGenPipeline:
         system_prompt_ids: Optional[np.ndarray] = None,
         l2_bucket: int = 64,
     ) -> List[tuple]:
-        """Per-request (embeds, attn_mask, prompt_len) triples for the
-        continuous-batching engine — ``ServingEngine.submit_embeds`` consumes
-        them directly. Same splice/mask construction as ``understand`` (the
-        lmms generate_until protocol); the question tail is right-padded to a
-        multiple of ``l2_bucket`` so the engine compiles one admit program per
-        bucketed splice length instead of one per question length."""
+        """Per-request (embeds, attn_mask, prompt_len, lookup_ids) tuples for
+        the continuous-batching engine — ``ServingEngine.submit_embeds``
+        consumes the first three directly; ``lookup_ids`` carries the known
+        text token ids at their splice positions (zeros over the image span)
+        to seed speculative drafting. Same splice/mask construction as
+        ``understand`` (the lmms generate_until protocol); the question tail
+        is right-padded to a multiple of ``l2_bucket`` so the engine compiles
+        one admit program per bucketed splice length instead of one per
+        question length."""
         img_embeds = self._image_embeds(pixels)
         _, p, _ = img_embeds.shape
         sys_len = 0 if system_prompt_ids is None else system_prompt_ids.shape[1]
@@ -345,7 +348,9 @@ class UniGenPipeline:
                 self.params, jnp.asarray(part1), jnp.asarray(part2p),
                 img_embeds[i:i + 1], jnp.asarray([plen], jnp.int32),
                 sys_len=sys_len)
-            out.append((np.asarray(embeds), np.asarray(attn), plen))
+            lookup = np.concatenate(
+                [part1[0], np.zeros((p,), np.int64), part2[0]]).astype(np.int32)
+            out.append((np.asarray(embeds), np.asarray(attn), plen, lookup))
         return out
 
     def understand(
