@@ -288,7 +288,7 @@ def bench_vqa(batch_size: int = 8, prompt_len: int = 600, max_new_tokens: int = 
 
 def bench_serve(slots: int = 32, n_requests: int = 96, prompt_len: int = 600,
                 chunk: int = 16, quant: Optional[str] = "int8+kv",
-                seed: int = 0, tiny: bool = False):
+                seed: int = 0, tiny: bool = False, speculate_k: int = 0):
     """Continuous-batching serving throughput on a mixed-length trace.
 
     Workload: ``n_requests`` prompts of ``prompt_len`` tokens with decode
@@ -312,6 +312,9 @@ def bench_serve(slots: int = 32, n_requests: int = 96, prompt_len: int = 600,
 
     _enable_compile_cache()
     if tiny:  # CPU smoke: exercises the same control flow on a toy model
+        # (sitecustomize re-forces the relay platform, so set it explicitly —
+        # the smoke must never touch the chip)
+        jax.config.update("jax_platforms", "cpu")
         cfg = unigen.UniGenConfig.tiny()
         prompt_len, n_requests, slots = 24, 12, 4
     else:
@@ -337,7 +340,8 @@ def bench_serve(slots: int = 32, n_requests: int = 96, prompt_len: int = 600,
     def make_engine():
         return ServingEngine(params, cfg, slots=slots, max_len=max_len,
                              buckets=(bucket,), chunk=chunk,
-                             quantized_cache=quant_kv, seed=seed)
+                             quantized_cache=quant_kv, seed=seed,
+                             speculate_k=speculate_k)
 
     # warmup/compile: one tiny pass through both programs (admit + decode)
     with _Watchdog(1800):
@@ -346,6 +350,8 @@ def bench_serve(slots: int = 32, n_requests: int = 96, prompt_len: int = 600,
             weng.submit(prompts[0], max_new_tokens=2).result(timeout=1700)
         print(f"[bench] serve compile+warmup: {time.perf_counter() - t0:.1f}s",
               file=sys.stderr)
+
+    acceptance = {}
 
     def run(static: bool) -> float:
         eng = make_engine()
@@ -363,6 +369,9 @@ def bench_serve(slots: int = 32, n_requests: int = 96, prompt_len: int = 600,
                 f.result(timeout=900)
         dt = time.perf_counter() - t0
         occ = eng.stats.occupancy
+        # accepted tokens per occupied decode step (1.0 without speculation)
+        acceptance["static" if static else "continuous"] = (
+            eng.stats.tokens_generated / max(eng.stats.busy_steps, 1))
         eng.close()
         mode = "static" if static else "continuous"
         print(f"[bench] serve {mode}: {dt:.2f}s, occupancy {occ:.2f}",
@@ -382,9 +391,10 @@ def bench_serve(slots: int = 32, n_requests: int = 96, prompt_len: int = 600,
         "vs_baseline": None, "synced": True,
         "config": {"slots": slots, "n_requests": n_requests,
                    "prompt_len": prompt_len, "chunk": chunk,
-                   "quant": quant or "bf16",
+                   "quant": quant or "bf16", "speculate_k": speculate_k,
                    "budgets": "U[8,32]" if tiny else "U[32,224]"},
         "static_tokens_per_s": round(tps_static, 1),
+        "accepted_per_step": round(acceptance.get("continuous", 1.0), 3),
         "speedup_vs_static": round(tps_cont / tps_static, 3)}))
 
 
@@ -700,10 +710,12 @@ if __name__ == "__main__":
     elif args and args[0] == "serve":
         nums = [a for a in args[1:] if a.isdigit()]
         q = next((a for a in args if a in ("int8", "int8kv", "int8+kv", "bf16")), "int8+kv")
+        spec = next((int(a[4:]) for a in args if a.startswith("spec")
+                     and a[4:].isdigit()), 4 if "spec" in args else 0)
         bench_serve(slots=int(nums[0]) if nums else 32,
                     n_requests=int(nums[1]) if len(nums) > 1 else 96,
                     quant=None if q == "bf16" else ("int8+kv" if q == "int8kv" else q),
-                    tiny="tiny" in args)
+                    tiny="tiny" in args, speculate_k=spec)
     elif args and args[0] == "train":
         mode = next((a for a in args[1:] if a in ("pt2", "sft", "dpo")), "pt2")
         nums = [a for a in args[1:] if a.isdigit()]
