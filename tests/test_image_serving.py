@@ -79,6 +79,30 @@ def test_successive_batches_use_distinct_keys(pipe):
     assert np.array_equal(a, a2)
 
 
+def test_failed_engine_rejects_submissions(pipe):
+    """A batch exception fails the in-flight futures AND closes the engine —
+    later submissions must raise immediately instead of returning futures no
+    thread will ever resolve."""
+    import dataclasses
+    broken = dataclasses.replace(pipe)
+
+    def boom(*a, **k):
+        raise RuntimeError("synthetic sampler failure")
+
+    broken.generate_images = boom
+    eng = ImageServingEngine(broken, batch=2, max_wait_s=0.01, **PROTOCOL)
+    fut = eng.submit("a red cat")
+    with pytest.raises(RuntimeError, match="synthetic sampler failure"):
+        fut.result(timeout=60)
+    deadline = 60
+    import time
+    while not eng._closing and deadline > 0:   # scheduler sets it as it dies
+        time.sleep(0.05)
+        deadline -= 0.05
+    with pytest.raises(RuntimeError):
+        eng.submit("late")
+
+
 def test_closed_engine_rejects_submissions(pipe):
     eng = ImageServingEngine(pipe, batch=2, max_wait_s=0.01, **PROTOCOL)
     eng.close()

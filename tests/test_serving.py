@@ -365,6 +365,15 @@ def test_engine_concurrent_submitters_exact(model):
         assert got[i] == _reference_greedy(cfg, params, prompts[i], budgets[i])
 
 
+def test_stream_timeout_raises_timeout_error():
+    """stream(timeout=...) must raise TimeoutError (like result()), not leak
+    queue.Empty past the HTTP server's 504 handler."""
+    from unigen_tpu.serving.engine import GenerationResult
+    fut = GenerationResult(0)
+    with pytest.raises(TimeoutError):
+        next(fut.stream(timeout=0.01))
+
+
 def test_engine_stream_matches_result(model):
     """stream() yields exactly the tokens result() returns, incrementally."""
     cfg, params = model

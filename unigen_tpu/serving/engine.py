@@ -283,9 +283,15 @@ class GenerationResult:
 
         Only tokens within the request's budget (and up to/including eot) are
         yielded — identical content to ``result()``, delivered incrementally.
+        ``timeout`` bounds the wait per token burst (not the whole request)
+        and raises TimeoutError like ``result()``.
         """
         while True:
-            tok = self._stream_q.get(timeout=timeout)
+            try:
+                tok = self._stream_q.get(timeout=timeout)
+            except queue.Empty:
+                raise TimeoutError(
+                    f"request {self.request_id} produced no token for {timeout}s")
             if tok is None:
                 if self._error is not None:
                     raise self._error
@@ -478,6 +484,7 @@ class ServingEngine:
                 if self._active.any():
                     self._decode_and_harvest()
         except BaseException as e:  # resolve all futures so callers unblock
+            self._closing = True     # reject new submissions: no thread serves them
             undrained = []
             try:
                 while True:
@@ -592,6 +599,15 @@ class ServingEngine:
         """Finish all queued/in-flight requests, then stop the scheduler."""
         self._queue.put(None)
         self._thread.join(timeout)
+        # fail any request that raced past the closed check after the
+        # scheduler exited, so its caller unblocks instead of hanging
+        try:
+            while True:
+                item = self._queue.get(block=False)
+                if item is not None:
+                    item.future._fail(RuntimeError("engine is closed"))
+        except queue.Empty:
+            pass
 
     def __enter__(self) -> "ServingEngine":
         return self

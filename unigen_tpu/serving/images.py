@@ -111,23 +111,35 @@ class ImageServingEngine:
 
     def _collect(self) -> List[Tuple[str, ImageResult]]:
         """One microbatch: block for the first request, then fill slots until
-        the batch is full or ``max_wait_s`` has elapsed."""
+        the batch is full or ``max_wait_s`` has elapsed. After the shutdown
+        sentinel, stragglers that raced past the closed check in ``submit``
+        are still drained into batches so their futures resolve."""
+        import time
+        items: List[Tuple[str, ImageResult]] = []
         first = self._queue.get()
         if first is None:
             self._closing = True
-            return []
-        items = [first]
-        import time
-        deadline = time.monotonic() + self.max_wait_s
-        while len(items) < self.batch:
+        else:
+            items.append(first)
+            deadline = time.monotonic() + self.max_wait_s
+            while len(items) < self.batch and not self._closing:
+                try:
+                    nxt = self._queue.get(
+                        timeout=max(0.0, deadline - time.monotonic()))
+                except queue.Empty:
+                    break
+                if nxt is None:
+                    self._closing = True
+                else:
+                    items.append(nxt)
+        if self._closing:
             try:
-                nxt = self._queue.get(timeout=max(0.0, deadline - time.monotonic()))
+                while len(items) < self.batch:
+                    nxt = self._queue.get(block=False)
+                    if nxt is not None:
+                        items.append(nxt)
             except queue.Empty:
-                break
-            if nxt is None:
-                self._closing = True
-                break
-            items.append(nxt)
+                pass
         return items
 
     def _loop(self) -> None:
@@ -147,6 +159,7 @@ class ImageServingEngine:
                     self.requests_completed += 1
                 self.batches_run += 1
             except BaseException as e:
+                self._closing = True  # reject new submissions: no serving thread
                 for _, fut in items:
                     fut._fail(e)
                 # drain everything queued so no caller blocks forever
@@ -168,6 +181,14 @@ class ImageServingEngine:
         self._closing = True          # reject new submissions immediately
         self._queue.put(None)
         self._thread.join(timeout)
+        # fail anything that raced into the queue after the scheduler exited
+        try:
+            while True:
+                item = self._queue.get(block=False)
+                if item is not None:
+                    item[1]._fail(RuntimeError("engine is closed"))
+        except queue.Empty:
+            pass
 
     def __enter__(self) -> "ImageServingEngine":
         return self
