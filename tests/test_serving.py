@@ -365,6 +365,28 @@ def test_engine_concurrent_submitters_exact(model):
         assert got[i] == _reference_greedy(cfg, params, prompts[i], budgets[i])
 
 
+def test_engine_cancellation_frees_slot(model):
+    """Cancelling an in-flight request frees its slot for the queue, and
+    cancelling a queued request skips admission entirely; both futures fail
+    with CancelledError while unrelated requests complete exactly."""
+    from concurrent.futures import CancelledError
+    cfg, params = model
+    prompts = _prompts(cfg, [6, 7, 8], seed=41)
+    with ServingEngine(params, cfg, slots=1, max_len=96, buckets=(16,),
+                       chunk=2) as eng:
+        running = eng.submit(prompts[0], max_new_tokens=64)   # occupies the slot
+        queued = eng.submit(prompts[1], max_new_tokens=64)
+        survivor = eng.submit(prompts[2], max_new_tokens=5)
+        running.cancel()
+        queued.cancel()
+        got = survivor.result(timeout=300)
+        with pytest.raises(CancelledError):
+            running.result(timeout=60)
+        with pytest.raises(CancelledError):
+            queued.result(timeout=60)
+    assert got == _reference_greedy(cfg, params, prompts[2], 5)
+
+
 def test_stream_timeout_raises_timeout_error():
     """stream(timeout=...) must raise TimeoutError (like result()), not leak
     queue.Empty past the HTTP server's 504 handler."""

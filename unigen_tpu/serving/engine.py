@@ -38,6 +38,7 @@ import dataclasses
 import itertools
 import queue
 import threading
+from concurrent.futures import CancelledError
 from functools import partial
 from typing import Any, List, Optional, Sequence, Tuple
 
@@ -263,7 +264,14 @@ class GenerationResult:
         self._event = threading.Event()
         self._tokens: Optional[List[int]] = None
         self._error: Optional[BaseException] = None
+        self._cancelled = False
         self._stream_q: "queue.Queue[Optional[int]]" = queue.Queue()
+
+    def cancel(self) -> None:
+        """Request cancellation (client disconnect): the scheduler frees the
+        slot at the next harvest and the future fails with CancelledError.
+        A request that already finished is unaffected."""
+        self._cancelled = True
 
     def _push(self, token: int) -> None:
         self._stream_q.put(token)
@@ -516,6 +524,10 @@ class ServingEngine:
         free = [i for i in range(self.slots) if not self._active[i]]
         while free and self._pending:
             slot, req = free.pop(0), self._pending.pop(0)
+            if req.future._cancelled:  # cancelled before admission: no device work
+                req.future._fail(CancelledError(f"request {req.rid} cancelled"))
+                free.insert(0, slot)
+                continue
             self._key, k_adm = jax.random.split(self._key)
             plen = jnp.asarray([req.prompt_len], jnp.int32)
             temp = jnp.asarray([req.temperature], jnp.float32)
@@ -570,6 +582,11 @@ class ServingEngine:
         for slot in range(self.slots):
             req = self._slot_req[slot]
             if req is None:
+                continue
+            if req.future._cancelled:  # free the slot, fail the future
+                req.future._fail(CancelledError(f"request {req.rid} cancelled"))
+                self._slot_req[slot] = None
+                self._active[slot] = False
                 continue
             accepted = [t for s in range(self.chunk)
                         for t in toks[slot, s, :counts[slot, s]]]

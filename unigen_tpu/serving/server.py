@@ -92,22 +92,27 @@ class ServingHTTPServer:
                 """Server-sent events: one `data:` line per token burst, then a
                 final event with the assembled result."""
                 fut = outer._submit(req)
-                self.send_response(200)
-                self.send_header("Content-Type", "text/event-stream")
-                self.send_header("Cache-Control", "no-cache")
-                self.end_headers()
-                tokens = []
-                for tok in fut.stream(timeout=outer.request_timeout):
-                    tokens.append(tok)
-                    self.wfile.write(
-                        f"data: {json.dumps({'token': tok})}\n\n".encode())
+                try:
+                    self.send_response(200)
+                    self.send_header("Content-Type", "text/event-stream")
+                    self.send_header("Cache-Control", "no-cache")
+                    self.end_headers()
+                    tokens = []
+                    for tok in fut.stream(timeout=outer.request_timeout):
+                        tokens.append(tok)
+                        self.wfile.write(
+                            f"data: {json.dumps({'token': tok})}\n\n".encode())
+                        self.wfile.flush()
+                    final: Dict[str, Any] = {"done": True, "tokens": tokens,
+                                             "request_id": fut.request_id}
+                    if outer.tokenizer is not None:
+                        final["text"] = outer.tokenizer.decode(tokens)
+                    self.wfile.write(f"data: {json.dumps(final)}\n\n".encode())
                     self.wfile.flush()
-                final: Dict[str, Any] = {"done": True, "tokens": tokens,
-                                         "request_id": fut.request_id}
-                if outer.tokenizer is not None:
-                    final["text"] = outer.tokenizer.decode(tokens)
-                self.wfile.write(f"data: {json.dumps(final)}\n\n".encode())
-                self.wfile.flush()
+                except (BrokenPipeError, ConnectionResetError):
+                    # client went away: free the slot instead of decoding the
+                    # rest of the budget for nobody
+                    fut.cancel()
 
         self._httpd = ThreadingHTTPServer((host, port), Handler)
         self.host, self.port = self._httpd.server_address[:2]
