@@ -42,6 +42,10 @@ class ChatTokenizer:
                     f"<|im_start|>assistant\n")
         return list(self._tok(text, add_special_tokens=False).input_ids)
 
+    def encode_raw(self, text: str):
+        """No ChatML wrapping — the OpenAI chat route assembles its own."""
+        return list(self._tok(text, add_special_tokens=False).input_ids)
+
     def decode(self, ids):
         return self._tok.decode(ids, skip_special_tokens=True)
 

@@ -414,6 +414,79 @@ def test_engine_stream_matches_result(model):
 # HTTP server
 # ---------------------------------------------------------------------------
 
+class _Tok:
+    """Trivial reversible-enough tokenizer for HTTP-route tests."""
+
+    def __init__(self, vocab):
+        self.v = vocab
+
+    def encode(self, text):
+        return [3 + (ord(c) % (self.v - 4)) for c in text]
+
+    def decode(self, ids):
+        return ",".join(str(int(i)) for i in ids)
+
+
+def test_http_openai_routes(model):
+    """/v1/completions and /v1/chat/completions: OpenAI response shapes,
+    usage accounting, stop-string trimming, greedy tokens matching the
+    reference decoder."""
+    cfg, params = model
+    tok = _Tok(cfg.text_vocab_len)
+    with ServingEngine(params, cfg, slots=2, max_len=112,
+                       buckets=(16, 96)) as eng:
+        with ServingHTTPServer(eng, tokenizer=tok) as srv:
+            url = f"http://{srv.host}:{srv.port}"
+
+            def post(route, body):
+                req = urllib.request.Request(
+                    url + route, data=json.dumps(body).encode(),
+                    headers={"Content-Type": "application/json"})
+                return json.loads(urllib.request.urlopen(req, timeout=120).read())
+
+            prompt = "hello tpu"
+            ids = tok.encode(prompt)
+            ref = _reference_greedy(cfg, params, ids, 5)
+            out = post("/v1/completions", {"prompt": prompt, "max_tokens": 5})
+            assert out["object"] == "text_completion"
+            assert out["choices"][0]["text"] == tok.decode(ref)
+            assert out["choices"][0]["finish_reason"] == "length"
+            assert out["usage"] == {"prompt_tokens": len(ids),
+                                    "completion_tokens": 5, "total_tokens": len(ids) + 5}
+
+            # stop-string trimming flips finish_reason to "stop"
+            stop = "," + str(ref[2])
+            out = post("/v1/completions", {"prompt": prompt, "max_tokens": 5,
+                                           "stop": stop})
+            assert out["choices"][0]["finish_reason"] == "stop"
+            assert out["choices"][0]["text"] == tok.decode(ref).split(stop)[0]
+
+            # chat: ChatML assembly, assistant message shape
+            msgs = [{"role": "system", "content": "be brief"},
+                    {"role": "user", "content": "hi"}]
+            templ = ("<|im_start|>system\nbe brief<|im_end|>\n"
+                     "<|im_start|>user\nhi<|im_end|>\n<|im_start|>assistant\n")
+            ref_c = _reference_greedy(cfg, params, tok.encode(templ), 4)
+            out = post("/v1/chat/completions", {"messages": msgs, "max_tokens": 4})
+            assert out["object"] == "chat.completion"
+            assert out["choices"][0]["message"] == {
+                "role": "assistant", "content": tok.decode(ref_c)}
+
+            # unsupported / malformed -> 400
+            for body, route in [({"prompt": "x", "stream": True}, "/v1/completions"),
+                                ({"messages": []}, "/v1/chat/completions"),
+                                ({"prompt": "x", "n": 2}, "/v1/completions")]:
+                req = urllib.request.Request(
+                    url + route, data=json.dumps(body).encode(),
+                    headers={"Content-Type": "application/json"})
+                try:
+                    urllib.request.urlopen(req, timeout=60)
+                    assert False, "expected HTTP 400"
+                except urllib.error.HTTPError as e:
+                    assert e.code == 400
+    eng.close()
+
+
 def test_http_server_end_to_end(model):
     cfg, params = model
     prompts = _prompts(cfg, [5, 9, 12], seed=4)

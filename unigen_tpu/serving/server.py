@@ -14,6 +14,9 @@ Endpoints:
   POST /v1/images            -> body {"prompt": "text"}; returns
                                 {"image_png": base64, "width", "height"}.
                                 Requires an ImageServingEngine (``image_engine``).
+  POST /v1/completions       -> OpenAI-compatible text completion
+  POST /v1/chat/completions  -> OpenAI-compatible chat completion (ChatML
+                                assembly); both need a tokenizer.
 
 The reference has no serving entry point at all; this is a beyond-parity
 subsystem (docs/PARITY.md).
@@ -70,8 +73,11 @@ class ServingHTTPServer:
                 else:
                     self._reply(404, {"error": f"no route {self.path}"})
 
+            ROUTES = ("/v1/generate", "/v1/images", "/v1/completions",
+                      "/v1/chat/completions")
+
             def do_POST(self):
-                if self.path not in ("/v1/generate", "/v1/images"):
+                if self.path not in self.ROUTES:
                     self._reply(404, {"error": f"no route {self.path}"})
                     return
                 try:
@@ -79,6 +85,10 @@ class ServingHTTPServer:
                     req = json.loads(self.rfile.read(n) or b"{}")
                     if self.path == "/v1/images":
                         self._reply(200, outer._image(req))
+                    elif self.path == "/v1/completions":
+                        self._reply(200, outer._openai(req, chat=False))
+                    elif self.path == "/v1/chat/completions":
+                        self._reply(200, outer._openai(req, chat=True))
                     elif req.get("stream"):
                         self._stream(req)
                     else:
@@ -152,6 +162,66 @@ class ServingHTTPServer:
         return {"image_png": base64.b64encode(buf.getvalue()).decode("ascii"),
                 "width": int(image.shape[1]), "height": int(image.shape[0]),
                 "request_id": fut.request_id}
+
+    def _openai(self, req: Dict[str, Any], *, chat: bool) -> Dict[str, Any]:
+        """OpenAI-compatible /v1/completions and /v1/chat/completions.
+
+        Maps max_tokens/temperature/stop onto the engine request; chat
+        messages are assembled into the Qwen ChatML template. Streaming and
+        n>1 are not supported on these endpoints (use /v1/generate's SSE for
+        token streams). Stop strings are applied host-side after decode."""
+        if self.tokenizer is None:
+            raise ValueError("server has no tokenizer; OpenAI routes need one")
+        if req.get("stream"):
+            raise ValueError("stream is not supported on the OpenAI routes; "
+                             "use /v1/generate with stream=true")
+        if int(req.get("n", 1)) != 1:
+            raise ValueError("n > 1 is not supported")
+        if chat:
+            parts = []
+            for m in req.get("messages") or []:
+                role, content = m["role"], m["content"]
+                parts.append(f"<|im_start|>{role}\n{content}<|im_end|>\n")
+            if not parts:
+                raise ValueError("messages must be a non-empty list")
+            prompt = "".join(parts) + "<|im_start|>assistant\n"
+            enc = getattr(self.tokenizer, "encode_raw", self.tokenizer.encode)
+            ids = list(enc(prompt))
+        else:
+            if "prompt" not in req:
+                raise ValueError("body must contain prompt")
+            ids = list(self.tokenizer.encode(str(req["prompt"])))
+        max_new = int(req.get("max_tokens",
+                              req.get("max_new_tokens",
+                                      self.default_max_new_tokens)))
+        sub = {"prompt_ids": ids, "max_new_tokens": max_new,
+               "temperature": float(req.get("temperature", 0.0) or 0.0)}
+        if req.get("eot_token") is not None:
+            sub["eot_token"] = int(req["eot_token"])
+        fut = self._submit(sub)
+        tokens = fut.result(timeout=self.request_timeout)
+        text = self.tokenizer.decode(tokens)
+        finish = "length" if len(tokens) >= max_new else "stop"
+        stops = req.get("stop") or []
+        if isinstance(stops, str):
+            stops = [stops]
+        for s in stops:
+            if s and s in text:
+                text, finish = text.split(s)[0], "stop"
+        usage = {"prompt_tokens": len(ids), "completion_tokens": len(tokens),
+                 "total_tokens": len(ids) + len(tokens)}
+        if chat:
+            return {"id": f"chatcmpl-{fut.request_id}",
+                    "object": "chat.completion", "model": "unigen-tpu",
+                    "choices": [{"index": 0, "finish_reason": finish,
+                                 "message": {"role": "assistant",
+                                             "content": text}}],
+                    "usage": usage}
+        return {"id": f"cmpl-{fut.request_id}", "object": "text_completion",
+                "model": "unigen-tpu",
+                "choices": [{"index": 0, "text": text,
+                             "finish_reason": finish}],
+                "usage": usage}
 
     def _generate(self, req: Dict[str, Any]) -> Dict[str, Any]:
         fut = self._submit(req)
