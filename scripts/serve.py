@@ -40,11 +40,13 @@ class ChatTokenizer:
         if not self.raw:
             text = (f"<|im_start|>user\n{text}<|im_end|>\n"
                     f"<|im_start|>assistant\n")
-        return list(self._tok(text, add_special_tokens=False).input_ids)
+        return self.encode_raw(text)
 
     def encode_raw(self, text: str):
-        """No ChatML wrapping — the OpenAI chat route assembles its own."""
-        return list(self._tok(text, add_special_tokens=False).input_ids)
+        """No ChatML wrapping — the OpenAI chat route assembles its own.
+        Subscript access works for HF BatchEncoding AND the byte-level
+        FallbackTokenizer's plain dict (attribute access does not)."""
+        return list(self._tok(text, add_special_tokens=False)["input_ids"])
 
     def decode(self, ids):
         return self._tok.decode(ids, skip_special_tokens=True)

@@ -92,3 +92,65 @@ def test_train_sft_entry_resume(tmp_path):
                            "experiment.resume_from_checkpoint=latest"))
     assert "resuming from checkpoint" in (r.stderr + r.stdout)
     assert os.path.isdir(os.path.join(out, "checkpoint-4")), os.listdir(out)
+
+
+@pytest.mark.slow
+def test_serve_entry_smoke(tmp_path):
+    """scripts/serve.py as a subprocess: config -> pipeline -> engine ->
+    HTTP. Drives /healthz, a templated /v1/generate (eot defaulting), and
+    the OpenAI chat route with the byte-level fallback tokenizer."""
+    import json as _json
+    import random
+    import time
+    import urllib.request
+
+    port = random.randint(20000, 40000)
+    env = dict(os.environ, JAX_PLATFORMS="cpu",
+               XLA_FLAGS="--xla_force_host_platform_device_count=1")
+    proc = subprocess.Popen(
+        [sys.executable, os.path.join(REPO, "scripts", "serve.py"),
+         "config=configs/tiny/smoke_pt2.yaml",
+         f"experiment.output_dir={tmp_path}",
+         "serving.host=127.0.0.1", f"serving.port={port}",
+         "serving.slots=2", "serving.max_len=96",
+         "serving.buckets=[64]", "serving.max_new_tokens=4"],
+        cwd=REPO, env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+        text=True)
+    url = f"http://127.0.0.1:{port}"
+    try:
+        deadline = time.time() + 420
+        up = False
+        while time.time() < deadline:
+            if proc.poll() is not None:
+                break
+            try:
+                with urllib.request.urlopen(url + "/healthz", timeout=5) as r:
+                    up = _json.loads(r.read())["status"] == "ok"
+                    break
+            except OSError:
+                time.sleep(2)
+        assert up and proc.poll() is None, (
+            f"server never came up: {proc.poll()}\n"
+            f"{proc.stderr.read()[-4000:] if proc.poll() is not None else ''}")
+
+        req = urllib.request.Request(
+            url + "/v1/generate",
+            data=_json.dumps({"prompt": "hi", "max_new_tokens": 3}).encode(),
+            headers={"Content-Type": "application/json"})
+        out = _json.loads(urllib.request.urlopen(req, timeout=420).read())
+        assert len(out["tokens"]) <= 3 and "text" in out
+
+        req = urllib.request.Request(
+            url + "/v1/chat/completions",
+            data=_json.dumps({"messages": [{"role": "user", "content": "hi"}],
+                              "max_tokens": 3}).encode(),
+            headers={"Content-Type": "application/json"})
+        out = _json.loads(urllib.request.urlopen(req, timeout=420).read())
+        assert out["object"] == "chat.completion"
+        assert out["choices"][0]["message"]["role"] == "assistant"
+    finally:
+        proc.terminate()
+        try:
+            proc.wait(timeout=30)
+        except subprocess.TimeoutExpired:
+            proc.kill()
