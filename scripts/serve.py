@@ -101,15 +101,8 @@ def main() -> int:
         engine, host=str(s.get("host", "0.0.0.0")), port=int(s.get("port", 8000)),
         tokenizer=tok,
         default_max_new_tokens=int(s.get("max_new_tokens", 256)),
+        default_eot_token=int(im_end),   # stop templated chats at <|im_end|>
         image_engine=image_engine)
-    # default the stop token for templated prompts (covers stream + non-stream)
-    orig = server._submit
-
-    def submit_with_eot(req):
-        req.setdefault("eot_token", int(im_end))
-        return orig(req)
-
-    server._submit = submit_with_eot
     server.start()
     logger.info("serving on %s:%s (slots=%d, max_len=%d)", server.host,
                 server.port, engine.slots, engine.max_len)

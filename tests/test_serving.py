@@ -414,6 +414,24 @@ def test_engine_stream_matches_result(model):
 # HTTP server
 # ---------------------------------------------------------------------------
 
+def test_healthz_reports_dead_engine(model):
+    """/healthz flips to 503 'dead' once the engine scheduler has exited, so
+    load balancers stop routing to a broken replica."""
+    cfg, params = model
+    eng = ServingEngine(params, cfg, slots=2, max_len=32, buckets=(16,))
+    with ServingHTTPServer(eng) as srv:
+        url = f"http://{srv.host}:{srv.port}/healthz"
+        out = json.loads(urllib.request.urlopen(url, timeout=60).read())
+        assert out["status"] == "ok"
+        eng.close()
+        try:
+            urllib.request.urlopen(url, timeout=60)
+            assert False, "expected HTTP 503"
+        except urllib.error.HTTPError as e:
+            assert e.code == 503
+            assert json.loads(e.read())["status"] == "dead"
+
+
 class _Tok:
     """Trivial reversible-enough tokenizer for HTTP-route tests."""
 
@@ -429,13 +447,14 @@ class _Tok:
 
 def test_http_openai_routes(model):
     """/v1/completions and /v1/chat/completions: OpenAI response shapes,
-    usage accounting, stop-string trimming, greedy tokens matching the
-    reference decoder."""
+    usage accounting, stop-string trimming, null-tolerant max_tokens,
+    content-parts messages, greedy tokens matching the reference decoder."""
     cfg, params = model
     tok = _Tok(cfg.text_vocab_len)
     with ServingEngine(params, cfg, slots=2, max_len=112,
                        buckets=(16, 96)) as eng:
-        with ServingHTTPServer(eng, tokenizer=tok) as srv:
+        with ServingHTTPServer(eng, tokenizer=tok,
+                               default_max_new_tokens=5) as srv:
             url = f"http://{srv.host}:{srv.port}"
 
             def post(route, body):
@@ -461,6 +480,10 @@ def test_http_openai_routes(model):
             assert out["choices"][0]["finish_reason"] == "stop"
             assert out["choices"][0]["text"] == tok.decode(ref).split(stop)[0]
 
+            # OpenAI clients send explicit nulls: fall back to the default
+            out = post("/v1/completions", {"prompt": prompt, "max_tokens": None})
+            assert out["usage"]["completion_tokens"] == 5
+
             # chat: ChatML assembly, assistant message shape
             msgs = [{"role": "system", "content": "be brief"},
                     {"role": "user", "content": "hi"}]
@@ -472,9 +495,25 @@ def test_http_openai_routes(model):
             assert out["choices"][0]["message"] == {
                 "role": "assistant", "content": tok.decode(ref_c)}
 
+            # content-parts form is equivalent to plain string content
+            msgs_p = [{"role": "system", "content": "be brief"},
+                      {"role": "user",
+                       "content": [{"type": "text", "text": "hi"}]}]
+            out_p = post("/v1/chat/completions",
+                         {"messages": msgs_p, "max_tokens": 4})
+            assert out_p["choices"] == out["choices"]
+
+            # raw flag honored when the tokenizer exposes encode_raw
+            tok.encode_raw = lambda t: tok.encode(t)[:3]
+            out = post("/v1/generate", {"prompt": prompt, "raw": True,
+                                        "max_new_tokens": 2})
+            assert out["tokens"] == _reference_greedy(cfg, params, ids[:3], 2)
+            del tok.encode_raw
+
             # unsupported / malformed -> 400
             for body, route in [({"prompt": "x", "stream": True}, "/v1/completions"),
                                 ({"messages": []}, "/v1/chat/completions"),
+                                ({"prompt": "", "max_tokens": 3}, "/v1/completions"),
                                 ({"prompt": "x", "n": 2}, "/v1/completions")]:
                 req = urllib.request.Request(
                     url + route, data=json.dumps(body).encode(),

@@ -420,11 +420,18 @@ class ServingEngine:
                 return b
         raise ValueError(f"prompt length {n} exceeds largest bucket {self.buckets[-1]}")
 
+    @property
+    def healthy(self) -> bool:
+        """True while the scheduler thread is serving (liveness probes)."""
+        return self._thread.is_alive() and not self._closing
+
     def submit(self, input_ids: Sequence[int], *, max_new_tokens: int = 128,
                temperature: float = 0.0, eot_token: Optional[int] = None
                ) -> GenerationResult:
         """Queue a text prompt; returns a future resolving to generated token ids."""
         ids = np.asarray(input_ids, np.int32).reshape(-1)
+        if len(ids) == 0:  # prompt_len 0 would mask every key -> NaN garbage
+            raise ValueError("prompt must contain at least one token")
         l = self._bucket(len(ids))
         self._check_fit(l, max_new_tokens)
         padded = np.full((1, l), self.pad_id, np.int32)
@@ -450,6 +457,8 @@ class ServingEngine:
         l = inputs_embeds.shape[1]
         if l not in self.buckets:
             raise ValueError(f"embeddings length {l} must be one of {self.buckets}")
+        if prompt_len < 1:
+            raise ValueError("prompt_len must be >= 1")
         self._check_fit(l, max_new_tokens)
         lk = None
         if lookup_ids is not None and self.speculate_k > 0:
@@ -466,7 +475,12 @@ class ServingEngine:
         if max_new < 1:
             raise ValueError(f"max_new_tokens must be >= 1, got {max_new}")
         # speculation writes up to k draft positions past the final accepted
-        # token — the row needs that headroom so cache writes never clamp
+        # token — the headroom keeps every BUDGETED write unclamped. In the
+        # trailing chunk after a row's budget is exhausted (the host frees the
+        # slot only at harvest) further junk writes may clamp at max_len-1;
+        # those positions are provably never read: the decode mask reads
+        # strictly below the row's index, and the next admission re-prefills
+        # the row before the index can reach them.
         if bucket_len + max_new + self.speculate_k > self.max_len:
             raise ValueError(
                 f"bucket {bucket_len} + max_new_tokens {max_new} (+ "
@@ -478,6 +492,11 @@ class ServingEngine:
             raise RuntimeError("engine is closed")
         req.future = GenerationResult(req.rid)
         self._queue.put(req)
+        # the scheduler may have died between the check and the put; a dead
+        # thread will never drain this item, so fail it here (idempotent with
+        # the death handler's own drain)
+        if self._closing and not self._thread.is_alive():
+            req.future._fail(RuntimeError("engine is closed"))
         return req.future
 
     # -- scheduler loop -------------------------------------------------------
@@ -616,6 +635,8 @@ class ServingEngine:
         """Finish all queued/in-flight requests, then stop the scheduler."""
         self._queue.put(None)
         self._thread.join(timeout)
+        if self._thread.is_alive():
+            return  # still draining a long backlog: don't steal its queue
         # fail any request that raced past the closed check after the
         # scheduler exited, so its caller unblocks instead of hanging
         try:

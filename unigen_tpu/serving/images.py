@@ -99,12 +99,21 @@ class ImageServingEngine:
                                         name="unigen-image-serving")
         self._thread.start()
 
+    @property
+    def healthy(self) -> bool:
+        """True while the scheduler thread is serving (liveness probes)."""
+        return self._thread.is_alive() and not self._closing
+
     def submit(self, prompt: str) -> ImageResult:
         """Queue one text prompt; returns a future resolving to uint8 pixels."""
         if self._closing:
             raise RuntimeError("engine is closed")
         fut = ImageResult(next(self._rid))
         self._queue.put((str(prompt), fut))
+        # the scheduler may have died between the check and the put; nothing
+        # will drain the item then — fail it (idempotent with the death drain)
+        if self._closing and not self._thread.is_alive():
+            fut._fail(RuntimeError("engine is closed"))
         return fut
 
     # -- scheduler -------------------------------------------------------------
@@ -181,6 +190,8 @@ class ImageServingEngine:
         self._closing = True          # reject new submissions immediately
         self._queue.put(None)
         self._thread.join(timeout)
+        if self._thread.is_alive():
+            return  # still draining a long backlog: don't steal its queue
         # fail anything that raced into the queue after the scheduler exited
         try:
             while True:

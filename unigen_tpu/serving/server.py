@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import json
 import threading
+import traceback
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Any, Dict, Optional
 
@@ -42,10 +43,12 @@ class ServingHTTPServer:
     def __init__(self, engine: ServingEngine, *, host: str = "127.0.0.1",
                  port: int = 0, tokenizer: Any = None,
                  default_max_new_tokens: int = 128,
+                 default_eot_token: Optional[int] = None,
                  request_timeout: float = 600.0, image_engine: Any = None):
         self.engine = engine
         self.tokenizer = tokenizer
         self.image_engine = image_engine
+        self.default_eot_token = default_eot_token
         self.default_max_new_tokens = default_max_new_tokens
         self.request_timeout = request_timeout
         outer = self
@@ -65,11 +68,14 @@ class ServingHTTPServer:
             def do_GET(self):
                 if self.path == "/healthz":
                     s = outer.engine.stats
-                    self._reply(200, {"status": "ok", "stats": {
-                        "requests_completed": s.requests_completed,
-                        "tokens_generated": s.tokens_generated,
-                        "decode_chunks": s.decode_chunks,
-                        "occupancy": round(s.occupancy, 4)}})
+                    alive = outer.engine.healthy
+                    self._reply(200 if alive else 503, {
+                        "status": "ok" if alive else "dead",
+                        "stats": {
+                            "requests_completed": s.requests_completed,
+                            "tokens_generated": s.tokens_generated,
+                            "decode_chunks": s.decode_chunks,
+                            "occupancy": round(s.occupancy, 4)}})
                 else:
                     self._reply(404, {"error": f"no route {self.path}"})
 
@@ -93,15 +99,20 @@ class ServingHTTPServer:
                         self._stream(req)
                     else:
                         self._reply(200, outer._generate(req))
-                except (ValueError, KeyError) as e:
+                except (ValueError, KeyError, TypeError) as e:
                     self._reply(400, {"error": str(e)})
                 except TimeoutError as e:
                     self._reply(504, {"error": str(e)})
+                except (BrokenPipeError, ConnectionResetError):
+                    pass  # client gone; nothing to reply to
+                except Exception as e:  # engine death etc.: a JSON 500, not a
+                    traceback.print_exc()  # dropped socket
+                    self._reply(500, {"error": f"{type(e).__name__}: {e}"})
 
             def _stream(self, req: Dict[str, Any]) -> None:
                 """Server-sent events: one `data:` line per token burst, then a
                 final event with the assembled result."""
-                fut = outer._submit(req)
+                fut = outer._submit(req)   # validation errors -> 400, pre-headers
                 try:
                     self.send_response(200)
                     self.send_header("Content-Type", "text/event-stream")
@@ -123,6 +134,18 @@ class ServingHTTPServer:
                     # client went away: free the slot instead of decoding the
                     # rest of the budget for nobody
                     fut.cancel()
+                except Exception as e:
+                    # headers are already on the wire — a status-line reply
+                    # would corrupt the stream; emit a terminal error event
+                    # and free the slot
+                    fut.cancel()
+                    try:
+                        self.wfile.write(
+                            f"data: {json.dumps({'done': True, 'error': str(e)})}"
+                            "\n\n".encode())
+                        self.wfile.flush()
+                    except OSError:
+                        pass
 
         self._httpd = ThreadingHTTPServer((host, port), Handler)
         self.host, self.port = self._httpd.server_address[:2]
@@ -135,16 +158,21 @@ class ServingHTTPServer:
         elif "prompt" in req:
             if self.tokenizer is None:
                 raise ValueError("server has no tokenizer; send prompt_ids")
-            ids = list(self.tokenizer.encode(req["prompt"]))
+            enc = self.tokenizer.encode
+            if req.get("raw"):  # skip any template the tokenizer shim applies
+                enc = getattr(self.tokenizer, "encode_raw", enc)
+            ids = list(enc(str(req["prompt"])))
         else:
             raise ValueError("body must contain prompt_ids or prompt")
+        if not ids:
+            raise ValueError("prompt must contain at least one token")
+        eot = req.get("eot_token", self.default_eot_token)
         return self.engine.submit(
             ids,
-            max_new_tokens=int(req.get("max_new_tokens",
-                                       self.default_max_new_tokens)),
-            temperature=float(req.get("temperature", 0.0)),
-            eot_token=(int(req["eot_token"]) if req.get("eot_token") is not None
-                       else None))
+            max_new_tokens=int(req.get("max_new_tokens")
+                               or self.default_max_new_tokens),
+            temperature=float(req.get("temperature") or 0.0),
+            eot_token=(int(eot) if eot is not None else None))
 
     def _image(self, req: Dict[str, Any]) -> Dict[str, Any]:
         if self.image_engine is None:
@@ -180,8 +208,16 @@ class ServingHTTPServer:
         if chat:
             parts = []
             for m in req.get("messages") or []:
-                role, content = m["role"], m["content"]
-                parts.append(f"<|im_start|>{role}\n{content}<|im_end|>\n")
+                content = m["content"]
+                if isinstance(content, list):  # OpenAI content-parts form
+                    texts = []
+                    for part in content:
+                        if not isinstance(part, dict) or part.get("type") != "text":
+                            raise ValueError(
+                                "only text content parts are supported")
+                        texts.append(part["text"])
+                    content = "".join(texts)
+                parts.append(f"<|im_start|>{m['role']}\n{content}<|im_end|>\n")
             if not parts:
                 raise ValueError("messages must be a non-empty list")
             prompt = "".join(parts) + "<|im_start|>assistant\n"
@@ -191,11 +227,11 @@ class ServingHTTPServer:
             if "prompt" not in req:
                 raise ValueError("body must contain prompt")
             ids = list(self.tokenizer.encode(str(req["prompt"])))
-        max_new = int(req.get("max_tokens",
-                              req.get("max_new_tokens",
-                                      self.default_max_new_tokens)))
+        # `or` chains tolerate explicit nulls (OpenAI clients send them)
+        max_new = int(req.get("max_tokens") or req.get("max_new_tokens")
+                      or self.default_max_new_tokens)
         sub = {"prompt_ids": ids, "max_new_tokens": max_new,
-               "temperature": float(req.get("temperature", 0.0) or 0.0)}
+               "temperature": float(req.get("temperature") or 0.0)}
         if req.get("eot_token") is not None:
             sub["eot_token"] = int(req["eot_token"])
         fut = self._submit(sub)
