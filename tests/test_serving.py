@@ -365,6 +365,40 @@ def test_engine_concurrent_submitters_exact(model):
         assert got[i] == _reference_greedy(cfg, params, prompts[i], budgets[i])
 
 
+@pytest.mark.parametrize("spec_k", [0, 3])
+def test_engine_shared_prefix_matches_full_prompt(model, spec_k):
+    """A shared-prefix engine (prefix KV computed once, suffix-only admission
+    prefill) must emit the same tokens as sending prefix+suffix as the full
+    prompt — with and without speculation, across staggered admissions."""
+    cfg, params = model
+    rng = np.random.default_rng(53)
+    prefix = rng.integers(3, cfg.text_vocab_len - 1, size=9).tolist()
+    suffixes = _prompts(cfg, [5, 11, 7], seed=54)
+    budgets = [6, 4, 7]
+    with ServingEngine(params, cfg, slots=2, max_len=64, buckets=(16,),
+                       chunk=3, speculate_k=spec_k,
+                       prefix_ids=prefix) as eng:
+        assert eng.prefix_len == 9
+        futs = [eng.submit(s, max_new_tokens=b)
+                for s, b in zip(suffixes, budgets)]
+        got = [f.result(timeout=300) for f in futs]
+    for s, b, g in zip(suffixes, budgets, got):
+        assert g == _reference_greedy(cfg, params, prefix + s, b)
+
+
+def test_engine_shared_prefix_rejects_embeds_and_overflow(model):
+    cfg, params = model
+    prefix = list(range(3, 12))
+    with ServingEngine(params, cfg, slots=1, max_len=32, buckets=(16,),
+                       prefix_ids=prefix) as eng:
+        with pytest.raises(ValueError):  # 9 + 16 + 10 > 32
+            eng.submit([5, 6], max_new_tokens=10)
+        with pytest.raises(ValueError):
+            eng.submit_embeds(np.zeros((1, 16, 8), np.float32),
+                              np.ones((1, 1, 16, 16), bool), 4,
+                              max_new_tokens=2)
+
+
 def test_engine_cancellation_frees_slot(model):
     """Cancelling an in-flight request frees its slot for the queue, and
     cancelling a queued request skips admission entirely; both futures fail

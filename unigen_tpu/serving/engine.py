@@ -132,6 +132,66 @@ def _admit_core(params, cfg: UniGenConfig, cache: qwen2.KVCache, last_tok, slot,
     return cache, last_tok
 
 
+@partial(jax.jit, static_argnames=("cfg", "quantize"))
+def _prefill_prefix(params, ids: Array, *, cfg: UniGenConfig, quantize: bool
+                    ) -> qwen2.KVCache:
+    """One-time causal prefill of the shared prefix: its K/V are constant
+    across every request, so they are computed once and spliced at admission."""
+    tmp = qwen2.init_kv_cache(cfg.llm, 1, ids.shape[1], quantize=quantize)
+    emb = embed_tokens(params, ids)
+    _, tmp = qwen2.forward(params["llm"], cfg.llm, inputs_embeds=emb, cache=tmp)
+    return tmp
+
+
+@partial(jax.jit, static_argnames=("cfg", "top_k"), donate_argnums=(1, 2))
+def _admit_ids_prefix(params, cache, last_tok, slot, prefix, input_ids,
+                      prompt_len, temp, key, *, cfg: UniGenConfig,
+                      top_k: Optional[int]):
+    """Admission with a shared-prefix KV splice: install the precomputed
+    prefix block, prefill ONLY the suffix against it (cached append at
+    positions P..P+l-1), then install the combined block into the slot row.
+
+    Pad keys in the suffix tail are never visible to a real query: causality
+    bounds query j to keys <= P+j < P+prompt_len, and decode overwrites the
+    pad slots (the row index starts at P+prompt_len).
+    """
+    p = prefix.k.shape[2]
+    l = input_ids.shape[1]
+    tmp = qwen2.init_kv_cache(cfg.llm, 1, p + l, quantize=cache.quantized)
+
+    def put(big, blk):
+        return jax.lax.dynamic_update_slice(
+            big, blk.astype(big.dtype), (0,) * big.ndim)
+
+    leaves = dict(k=put(tmp.k, prefix.k), v=put(tmp.v, prefix.v))
+    if cache.quantized:
+        leaves.update(k_scale=put(tmp.k_scale, prefix.k_scale),
+                      v_scale=put(tmp.v_scale, prefix.v_scale))
+    tmp = qwen2.KVCache(index=jnp.asarray(p, jnp.int32), **leaves)
+    emb = embed_tokens(params, input_ids)
+    hidden, tmp = qwen2.forward(params["llm"], cfg.llm, inputs_embeds=emb,
+                                cache=tmp)
+    last_hidden = jnp.take_along_axis(
+        hidden, jnp.broadcast_to((prompt_len - 1)[:, None, None],
+                                 (1, 1, hidden.shape[-1])), axis=1)[:, 0]
+    lg = qwen2.logits(params["llm"], cfg.llm, last_hidden).astype(jnp.float32)
+    first = _sample_rows(key, lg, temp, top_k)
+
+    def install(big, block):
+        start = (0, slot) + (0,) * (big.ndim - 2)
+        return jax.lax.dynamic_update_slice(big, block.astype(big.dtype), start)
+
+    leaves = dict(k=install(cache.k, tmp.k), v=install(cache.v, tmp.v))
+    if cache.quantized:
+        leaves.update(k_scale=install(cache.k_scale, tmp.k_scale),
+                      v_scale=install(cache.v_scale, tmp.v_scale))
+    index = jax.lax.dynamic_update_slice(
+        cache.index, (p + prompt_len).astype(cache.index.dtype), (slot,))
+    cache = qwen2.KVCache(index=index, **leaves)
+    last_tok = jax.lax.dynamic_update_slice(last_tok, first, (slot,))
+    return cache, last_tok
+
+
 def _draft_lookup(ctx: Array, ctx_start: Array, idx: Array, tok: Array,
                   k: int) -> Array:
     """Prompt-lookup draft, fully on device: propose the ``k`` tokens that
@@ -377,7 +437,8 @@ class ServingEngine:
                  max_len: int = 1024, buckets: Sequence[int] = (64, 128, 256, 512),
                  chunk: int = 8, top_k: Optional[int] = None,
                  quantized_cache: bool = False, pad_id: int = 0, seed: int = 0,
-                 speculate_k: int = 0):
+                 speculate_k: int = 0,
+                 prefix_ids: Optional[Sequence[int]] = None):
         if max(buckets) > max_len:
             raise ValueError(f"bucket {max(buckets)} exceeds max_len {max_len}")
         self.params = params
@@ -390,6 +451,22 @@ class ServingEngine:
         self.pad_id = pad_id
         self.speculate_k = speculate_k
         self.stats = EngineStats()
+
+        # shared-prefix KV cache: prefill the common prefix (system prompt /
+        # few-shot header) ONCE; every admission splices the block and
+        # prefills only its suffix. Token streams are identical to sending
+        # prefix+suffix as the full prompt (tested); admission prefill cost
+        # drops by the prefix share.
+        self._prefix = None
+        self._prefix_ids = None
+        if prefix_ids is not None:
+            self._prefix_ids = np.asarray(prefix_ids, np.int32).reshape(1, -1)
+            if self._prefix_ids.shape[1] == 0:
+                raise ValueError("prefix_ids must contain at least one token")
+            self._prefix = _prefill_prefix(
+                params, jnp.asarray(self._prefix_ids), cfg=cfg,
+                quantize=quantized_cache)
+        self.prefix_len = 0 if self._prefix_ids is None else self._prefix_ids.shape[1]
 
         self._cache = qwen2.init_kv_cache(cfg.llm, slots, max_len,
                                           quantize=quantized_cache,
@@ -433,7 +510,7 @@ class ServingEngine:
         if len(ids) == 0:  # prompt_len 0 would mask every key -> NaN garbage
             raise ValueError("prompt must contain at least one token")
         l = self._bucket(len(ids))
-        self._check_fit(l, max_new_tokens)
+        self._check_fit(self.prefix_len + l, max_new_tokens)
         padded = np.full((1, l), self.pad_id, np.int32)
         padded[0, :len(ids)] = ids
         return self._enqueue(_Request(
@@ -454,6 +531,10 @@ class ServingEngine:
         their splice positions, to seed the prompt-lookup draft — without it
         an embeds request drafts from its own generated tokens only.
         """
+        if self._prefix is not None:
+            raise ValueError("submit_embeds does not compose with a shared "
+                             "prefix (the omni mask is built for the full "
+                             "splice); run an engine without prefix_ids")
         l = inputs_embeds.shape[1]
         if l not in self.buckets:
             raise ValueError(f"embeddings length {l} must be one of {self.buckets}")
@@ -550,7 +631,12 @@ class ServingEngine:
             self._key, k_adm = jax.random.split(self._key)
             plen = jnp.asarray([req.prompt_len], jnp.int32)
             temp = jnp.asarray([req.temperature], jnp.float32)
-            if req.input_ids is not None:
+            if req.input_ids is not None and self._prefix is not None:
+                self._cache, self._last_tok = _admit_ids_prefix(
+                    self.params, self._cache, self._last_tok, slot,
+                    self._prefix, jnp.asarray(req.input_ids), plen, temp,
+                    k_adm, cfg=self.cfg, top_k=self.top_k)
+            elif req.input_ids is not None:
                 self._cache, self._last_tok = _admit_ids(
                     self.params, self._cache, self._last_tok, slot,
                     jnp.asarray(req.input_ids), plen, temp, k_adm,
@@ -563,6 +649,8 @@ class ServingEngine:
             if self.speculate_k > 0:
                 if req.input_ids is not None:
                     row, start = req.input_ids, 0
+                    if self._prefix_ids is not None:
+                        row = np.concatenate([self._prefix_ids, row], axis=1)
                 elif req.lookup_ids is not None:
                     row, start = req.lookup_ids, 0
                 else:  # no ids known: draft only from the generated region
