@@ -85,6 +85,7 @@ def main() -> int:
         chunk=int(s.get("chunk", 8)),
         top_k=(int(s["top_k"]) if s.get("top_k") is not None else None),
         quantized_cache=bool(s.get("quantized_cache", False)),
+        speculate_k=int(s.get("speculate_k", 0)),
         pad_id=pipeline.prompting.pad_id)
 
     image_engine = None
