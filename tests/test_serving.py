@@ -313,9 +313,41 @@ def test_engine_speculative_accepts_on_looping_model(model):
     assert rate > 1.05, f"no speculative acceptance (rate={rate:.2f})"
 
 
+@pytest.mark.slow
+def test_engine_speculative_fuzz_exactness(model):
+    """Randomized exactness sweep over (chunk, k, prompt lengths, budgets,
+    mixed temperatures): greedy rows must match the reference decoder exactly
+    and sampled rows must match the plain engine seed-for-seed, for every
+    drawn configuration."""
+    cfg, params = model
+    rng = np.random.default_rng(101)
+    for trial in range(5):
+        chunk = int(rng.integers(1, 5))
+        k = int(rng.integers(1, 5))
+        lens = rng.integers(3, 14, size=4).tolist()
+        budgets = rng.integers(1, 12, size=4).tolist()
+        temps = [0.0, 0.0, 0.7, 0.0]
+        prompts = _prompts(cfg, lens, seed=200 + trial)
+
+        def run(spec):
+            with ServingEngine(params, cfg, slots=2, max_len=64,
+                               buckets=(16,), chunk=chunk, seed=5,
+                               speculate_k=spec) as eng:
+                futs = [eng.submit(p, max_new_tokens=b, temperature=t)
+                        for p, b, t in zip(prompts, budgets, temps)]
+                return [f.result(timeout=300) for f in futs]
+
+        plain, spec = run(0), run(k)
+        assert plain == spec, f"trial {trial} (chunk={chunk}, k={k})"
+        for p, b, t, g in zip(prompts, budgets, temps, spec):
+            if t == 0.0:
+                assert g == _reference_greedy(cfg, params, p, b)
+
+
 def test_engine_speculative_sampled_matches_plain(model):
-    """Sampled rows pin acceptance to 1 with the plain path's RNG pattern:
-    same seed => identical sampled tokens with and without speculation."""
+    """Sampled rows pin acceptance to 1 and draw (seed, position)-indexed
+    keys: same request seed => identical sampled tokens with and without
+    speculation."""
     cfg, params = model
     prompts = _prompts(cfg, [6, 8], seed=17)
 
@@ -327,6 +359,30 @@ def test_engine_speculative_sampled_matches_plain(model):
             return [f.result(timeout=300) for f in futs]
 
     assert run(0) == run(3)
+
+
+def test_engine_sampled_schedule_independent(model):
+    """A sampled request with an explicit seed yields the SAME tokens no
+    matter how it is scheduled: different slot counts, chunk sizes, queue
+    positions, and speculation — per-(request, position) RNG keys decouple
+    sampling from batching entirely."""
+    cfg, params = model
+    prompt = _prompts(cfg, [7], seed=23)[0]
+    noise = _prompts(cfg, [5, 9], seed=24)
+
+    def run(slots, chunk, spec_k, lead):
+        with ServingEngine(params, cfg, slots=slots, max_len=48,
+                           buckets=(16,), chunk=chunk, seed=99,
+                           speculate_k=spec_k) as eng:
+            lead_futs = [eng.submit(n, max_new_tokens=4) for n in noise[:lead]]
+            fut = eng.submit(prompt, max_new_tokens=8, temperature=0.9,
+                             seed=1234)
+            [f.result(timeout=300) for f in lead_futs]
+            return fut.result(timeout=300)
+
+    base = run(slots=3, chunk=2, spec_k=0, lead=0)
+    assert base == run(slots=1, chunk=5, spec_k=0, lead=2)   # queued behind
+    assert base == run(slots=2, chunk=3, spec_k=3, lead=1)   # speculative
 
 
 def test_engine_concurrent_submitters_exact(model):

@@ -57,24 +57,42 @@ Array = jax.Array
 # Device programs
 # ---------------------------------------------------------------------------
 
-def _sample_rows(key: Array, logits: Array, temp: Array, top_k: Optional[int]) -> Array:
+def _row_keys(row_seed: Array, pos: Array) -> Array:
+    """Per-(request, token-position) PRNG keys.
+
+    Keying each sampled token by (request seed, its sequence position) makes
+    sampled streams deterministic PER REQUEST — independent of batching,
+    slot assignment, admission timing, chunk boundaries, and speculation
+    (which all reshuffle a global key's split order). Same request seed =>
+    same tokens, always.
+    """
+
+    def one(s, p):
+        return jax.random.fold_in(jax.random.fold_in(jax.random.key(0), s), p)
+
+    return jax.vmap(one)(row_seed, pos)
+
+
+def _sample_rows(keys: Array, logits: Array, temp: Array, top_k: Optional[int]) -> Array:
     """Per-row greedy (temp==0) or temperature/top-k sampling.
 
     Matches generation/decode.py::_sample_step semantics per row, but the
-    temperature is a [B] array so one program serves mixed request params.
+    temperature rides as a [B] array and each row draws from its own
+    position-indexed key (``_row_keys``), so one program serves mixed request
+    params with schedule-independent randomness.
     """
     greedy = jnp.argmax(logits, axis=-1)
     lg = logits / jnp.maximum(temp, 1e-6)[:, None]
     if top_k is not None:
         kth = jax.lax.top_k(lg, min(top_k, lg.shape[-1]))[0][..., -1:]
         lg = jnp.where(lg < kth, -jnp.inf, lg)
-    sampled = S.sample_categorical(key, jax.nn.softmax(lg, axis=-1))
+    sampled = jax.vmap(S.sample_categorical)(keys, jax.nn.softmax(lg, axis=-1))
     return jnp.where(temp > 0, sampled, greedy).astype(jnp.int32)
 
 
 @partial(jax.jit, static_argnames=("cfg", "steps", "top_k"), donate_argnums=(1, 2))
 def _decode_chunk(params, cache: qwen2.KVCache, last_tok: Array, active: Array,
-                  temp: Array, key: Array, *, cfg: UniGenConfig, steps: int,
+                  temp: Array, row_seed: Array, *, cfg: UniGenConfig, steps: int,
                   top_k: Optional[int]) -> Tuple[qwen2.KVCache, Array, Array]:
     """`steps` decode steps over all B slots; returns (cache, last_tok, toks[B, steps]).
 
@@ -84,27 +102,28 @@ def _decode_chunk(params, cache: qwen2.KVCache, last_tok: Array, active: Array,
     sync per chunk total; over the TPU relay a per-admit fetch costs a ~30ms
     round trip, BENCH.md). Inactive rows are frozen: their index does not
     advance and their sampled token is pinned to 0 until an admit resets them.
+    Sampling keys come from (row_seed, token position) — see ``_row_keys``.
     """
 
     def step(carry, _):
-        cache_c, tok, k = carry
-        k, k_s = jax.random.split(k)
+        cache_c, tok = carry
         emb = embed_tokens(params, tok[:, None])
         hidden, cache_n = qwen2.forward(params["llm"], cfg.llm, inputs_embeds=emb,
                                         cache=cache_c)
         lg = qwen2.logits(params["llm"], cfg.llm, hidden[:, 0]).astype(jnp.float32)
-        nxt = jnp.where(active, _sample_rows(k_s, lg, temp, top_k), 0)
+        keys = _row_keys(row_seed, cache_c.index + 1)
+        nxt = jnp.where(active, _sample_rows(keys, lg, temp, top_k), 0)
         cache_n = cache_n._replace(
             index=jnp.where(active, cache_n.index, cache_c.index))
-        return (cache_n, nxt, k), tok
+        return (cache_n, nxt), tok
 
-    (cache, last_tok, _), toks = jax.lax.scan(
-        step, (cache, last_tok, key), None, length=steps)
+    (cache, last_tok), toks = jax.lax.scan(
+        step, (cache, last_tok), None, length=steps)
     return cache, last_tok, jnp.moveaxis(toks, 0, 1)
 
 
 def _admit_core(params, cfg: UniGenConfig, cache: qwen2.KVCache, last_tok, slot,
-                inputs_embeds, attn_mask, prompt_len, temp, key, top_k):
+                inputs_embeds, attn_mask, prompt_len, temp, row_seed, top_k):
     """Prefill one request and install it into slot row `slot`."""
     l = inputs_embeds.shape[1]
     tmp = qwen2.init_kv_cache(cfg.llm, 1, l, quantize=cache.quantized)
@@ -115,7 +134,7 @@ def _admit_core(params, cfg: UniGenConfig, cache: qwen2.KVCache, last_tok, slot,
         hidden, jnp.broadcast_to((prompt_len - 1)[:, None, None],
                                  (1, 1, hidden.shape[-1])), axis=1)[:, 0]
     lg = qwen2.logits(params["llm"], cfg.llm, last_hidden).astype(jnp.float32)
-    first = _sample_rows(key, lg, temp, top_k)
+    first = _sample_rows(_row_keys(row_seed, prompt_len), lg, temp, top_k)
 
     def install(big, block):
         start = (0, slot) + (0,) * (big.ndim - 2)
@@ -145,7 +164,7 @@ def _prefill_prefix(params, ids: Array, *, cfg: UniGenConfig, quantize: bool
 
 @partial(jax.jit, static_argnames=("cfg", "top_k"), donate_argnums=(1, 2))
 def _admit_ids_prefix(params, cache, last_tok, slot, prefix, input_ids,
-                      prompt_len, temp, key, *, cfg: UniGenConfig,
+                      prompt_len, temp, row_seed, *, cfg: UniGenConfig,
                       top_k: Optional[int]):
     """Admission with a shared-prefix KV splice: install the precomputed
     prefix block, prefill ONLY the suffix against it (cached append at
@@ -175,7 +194,7 @@ def _admit_ids_prefix(params, cache, last_tok, slot, prefix, input_ids,
         hidden, jnp.broadcast_to((prompt_len - 1)[:, None, None],
                                  (1, 1, hidden.shape[-1])), axis=1)[:, 0]
     lg = qwen2.logits(params["llm"], cfg.llm, last_hidden).astype(jnp.float32)
-    first = _sample_rows(key, lg, temp, top_k)
+    first = _sample_rows(_row_keys(row_seed, p + prompt_len), lg, temp, top_k)
 
     def install(big, block):
         start = (0, slot) + (0,) * (big.ndim - 2)
@@ -224,8 +243,8 @@ def _draft_lookup(ctx: Array, ctx_start: Array, idx: Array, tok: Array,
 @partial(jax.jit, static_argnames=("cfg", "steps", "k", "top_k"),
          donate_argnums=(1, 2, 3))
 def _spec_decode_chunk(params, cache: qwen2.KVCache, last_tok: Array, ctx: Array,
-                       ctx_start: Array, active: Array, temp: Array, key: Array,
-                       *, cfg: UniGenConfig, steps: int, k: int,
+                       ctx_start: Array, active: Array, temp: Array,
+                       row_seed: Array, *, cfg: UniGenConfig, steps: int, k: int,
                        top_k: Optional[int]
                        ) -> Tuple[qwen2.KVCache, Array, Array, Array, Array]:
     """``steps`` speculative decode steps; each step verifies a ``k``-token
@@ -247,8 +266,7 @@ def _spec_decode_chunk(params, cache: qwen2.KVCache, last_tok: Array, ctx: Array
     """
 
     def step(carry, _):
-        cache_c, tok, ctx_c, kk = carry
-        kk, k_s = jax.random.split(kk)
+        cache_c, tok, ctx_c = carry
         idx = cache_c.index
         prop = _draft_lookup(ctx_c, ctx_start, idx, tok, k)
         inputs = jnp.concatenate([tok[:, None], prop], axis=1)       # [B, k+1]
@@ -256,7 +274,9 @@ def _spec_decode_chunk(params, cache: qwen2.KVCache, last_tok: Array, ctx: Array
         hidden, cache_n = qwen2.forward(params["llm"], cfg.llm,
                                         inputs_embeds=emb, cache=cache_c)
         lg = qwen2.logits(params["llm"], cfg.llm, hidden).astype(jnp.float32)
-        g0 = _sample_rows(k_s, lg[:, 0], temp, top_k)                # RNG-exact
+        # sampled rows advance one position per step (acc pinned to 1), so the
+        # (seed, position) key matches the plain path exactly
+        g0 = _sample_rows(_row_keys(row_seed, idx + 1), lg[:, 0], temp, top_k)
         g = jnp.concatenate([g0[:, None], jnp.argmax(lg[:, 1:], axis=-1)], axis=1)
         ok = jnp.cumprod((prop == g[:, :k]).astype(jnp.int32), axis=1)
         acc = jnp.where(active & (temp == 0.0),
@@ -271,10 +291,10 @@ def _spec_decode_chunk(params, cache: qwen2.KVCache, last_tok: Array, ctx: Array
             return jax.lax.dynamic_update_slice(row, chunk_, (i,))
         ctx_n = jax.vmap(wr)(ctx_c, emit.astype(ctx_c.dtype), idx)
         cache_n = cache_n._replace(index=jnp.where(active, idx + acc, idx))
-        return (cache_n, new_tok, ctx_n, kk), (emit, acc)
+        return (cache_n, new_tok, ctx_n), (emit, acc)
 
-    (cache, last_tok, ctx, _), (toks, counts) = jax.lax.scan(
-        step, (cache, last_tok, ctx, key), None, length=steps)
+    (cache, last_tok, ctx), (toks, counts) = jax.lax.scan(
+        step, (cache, last_tok, ctx), None, length=steps)
     return (cache, last_tok, ctx,
             jnp.moveaxis(toks, 0, 1), jnp.moveaxis(counts, 0, 1))
 
@@ -286,8 +306,8 @@ def _ctx_install(ctx: Array, slot, row: Array) -> Array:
 
 
 @partial(jax.jit, static_argnames=("cfg", "top_k"), donate_argnums=(1, 2))
-def _admit_ids(params, cache, last_tok, slot, input_ids, prompt_len, temp, key,
-               *, cfg: UniGenConfig, top_k: Optional[int]):
+def _admit_ids(params, cache, last_tok, slot, input_ids, prompt_len, temp,
+               row_seed, *, cfg: UniGenConfig, top_k: Optional[int]):
     """Text-prompt admission: embeds + causal/pad mask built in-program."""
     l = input_ids.shape[1]
     pos = jnp.arange(l)
@@ -296,16 +316,16 @@ def _admit_ids(params, cache, last_tok, slot, input_ids, prompt_len, temp, key,
             & keep[:, None, None, :] & keep[:, None, :, None])
     emb = embed_tokens(params, input_ids)
     return _admit_core(params, cfg, cache, last_tok, slot, emb, mask,
-                       prompt_len, temp, key, top_k)
+                       prompt_len, temp, row_seed, top_k)
 
 
 @partial(jax.jit, static_argnames=("cfg", "top_k"), donate_argnums=(1, 2))
 def _admit_embeds(params, cache, last_tok, slot, inputs_embeds, attn_mask,
-                  prompt_len, temp, key, *, cfg: UniGenConfig,
+                  prompt_len, temp, row_seed, *, cfg: UniGenConfig,
                   top_k: Optional[int]):
     """Continuous-prompt admission (VQA: spliced vision embeddings + omni mask)."""
     return _admit_core(params, cfg, cache, last_tok, slot, inputs_embeds,
-                       attn_mask, prompt_len, temp, key, top_k)
+                       attn_mask, prompt_len, temp, row_seed, top_k)
 
 
 # ---------------------------------------------------------------------------
@@ -385,6 +405,7 @@ class _Request:
     max_new_tokens: int
     temperature: float
     eot_token: Optional[int]
+    seed: int = 0
     input_ids: Optional[np.ndarray] = None        # [1, L_bucket] (text path)
     inputs_embeds: Optional[np.ndarray] = None    # [1, L, D] (embeddings path)
     attn_mask: Optional[np.ndarray] = None        # [1, 1, L, L]
@@ -476,7 +497,8 @@ class ServingEngine:
             self._ctx = jnp.zeros((slots, max_len), jnp.int32)
             self._ctx_start = np.zeros((slots,), np.int32)
         self._last_tok = jnp.zeros((slots,), jnp.int32)
-        self._key = jax.random.key(seed)
+        self._seed = seed
+        self._row_seed = np.zeros((slots,), np.int32)
         self._temp = np.zeros((slots,), np.float32)
         self._active = np.zeros((slots,), bool)
         self._slot_req: List[Optional[_Request]] = [None] * slots
@@ -502,9 +524,17 @@ class ServingEngine:
         """True while the scheduler thread is serving (liveness probes)."""
         return self._thread.is_alive() and not self._closing
 
+    def _request_seed(self, rid: int, seed: Optional[int]) -> int:
+        """Per-request sampling seed: user-provided, or derived from the
+        engine seed + request id. Sampled streams depend ONLY on this seed
+        and the prompt — never on batching or scheduling (``_row_keys``)."""
+        if seed is not None:
+            return int(seed) & 0x7FFFFFFF
+        return (self._seed * 1000003 + rid * 2654435761 + 1) & 0x7FFFFFFF
+
     def submit(self, input_ids: Sequence[int], *, max_new_tokens: int = 128,
-               temperature: float = 0.0, eot_token: Optional[int] = None
-               ) -> GenerationResult:
+               temperature: float = 0.0, eot_token: Optional[int] = None,
+               seed: Optional[int] = None) -> GenerationResult:
         """Queue a text prompt; returns a future resolving to generated token ids."""
         ids = np.asarray(input_ids, np.int32).reshape(-1)
         if len(ids) == 0:  # prompt_len 0 would mask every key -> NaN garbage
@@ -513,16 +543,18 @@ class ServingEngine:
         self._check_fit(self.prefix_len + l, max_new_tokens)
         padded = np.full((1, l), self.pad_id, np.int32)
         padded[0, :len(ids)] = ids
+        rid = next(self._rid)
         return self._enqueue(_Request(
-            rid=next(self._rid), future=None, prompt_len=len(ids),
+            rid=rid, future=None, prompt_len=len(ids),
             max_new_tokens=max_new_tokens, temperature=temperature,
-            eot_token=eot_token, input_ids=padded))
+            eot_token=eot_token, seed=self._request_seed(rid, seed),
+            input_ids=padded))
 
     def submit_embeds(self, inputs_embeds: np.ndarray, attn_mask: np.ndarray,
                       prompt_len: int, *, max_new_tokens: int = 128,
                       temperature: float = 0.0, eot_token: Optional[int] = None,
-                      lookup_ids: Optional[Sequence[int]] = None
-                      ) -> GenerationResult:
+                      lookup_ids: Optional[Sequence[int]] = None,
+                      seed: Optional[int] = None) -> GenerationResult:
         """Queue a continuous-embedding prompt (understanding path).
 
         ``inputs_embeds``: [1, L, D] already padded to a bucket length;
@@ -546,10 +578,12 @@ class ServingEngine:
             lk = np.zeros((1, l), np.int32)
             ids = np.asarray(lookup_ids, np.int32).reshape(-1)[:l]
             lk[0, :len(ids)] = ids
+        rid = next(self._rid)
         return self._enqueue(_Request(
-            rid=next(self._rid), future=None, prompt_len=prompt_len,
+            rid=rid, future=None, prompt_len=prompt_len,
             max_new_tokens=max_new_tokens, temperature=temperature,
-            eot_token=eot_token, inputs_embeds=np.asarray(inputs_embeds),
+            eot_token=eot_token, seed=self._request_seed(rid, seed),
+            inputs_embeds=np.asarray(inputs_embeds),
             attn_mask=np.asarray(attn_mask, bool), lookup_ids=lk))
 
     def _check_fit(self, bucket_len: int, max_new: int) -> None:
@@ -628,24 +662,25 @@ class ServingEngine:
                 req.future._fail(CancelledError(f"request {req.rid} cancelled"))
                 free.insert(0, slot)
                 continue
-            self._key, k_adm = jax.random.split(self._key)
             plen = jnp.asarray([req.prompt_len], jnp.int32)
             temp = jnp.asarray([req.temperature], jnp.float32)
+            self._row_seed[slot] = req.seed
+            rseed = jnp.asarray([req.seed], jnp.int32)
             if req.input_ids is not None and self._prefix is not None:
                 self._cache, self._last_tok = _admit_ids_prefix(
                     self.params, self._cache, self._last_tok, slot,
                     self._prefix, jnp.asarray(req.input_ids), plen, temp,
-                    k_adm, cfg=self.cfg, top_k=self.top_k)
+                    rseed, cfg=self.cfg, top_k=self.top_k)
             elif req.input_ids is not None:
                 self._cache, self._last_tok = _admit_ids(
                     self.params, self._cache, self._last_tok, slot,
-                    jnp.asarray(req.input_ids), plen, temp, k_adm,
+                    jnp.asarray(req.input_ids), plen, temp, rseed,
                     cfg=self.cfg, top_k=self.top_k)
             else:
                 self._cache, self._last_tok = _admit_embeds(
                     self.params, self._cache, self._last_tok, slot,
                     jnp.asarray(req.inputs_embeds), jnp.asarray(req.attn_mask),
-                    plen, temp, k_adm, cfg=self.cfg, top_k=self.top_k)
+                    plen, temp, rseed, cfg=self.cfg, top_k=self.top_k)
             if self.speculate_k > 0:
                 if req.input_ids is not None:
                     row, start = req.input_ids, 0
@@ -666,19 +701,19 @@ class ServingEngine:
             self._temp[slot] = req.temperature
 
     def _decode_and_harvest(self) -> None:
-        self._key, k_dec = jax.random.split(self._key)
+        rseed = jnp.asarray(self._row_seed)
         if self.speculate_k > 0:
             (self._cache, self._last_tok, self._ctx, toks,
              counts) = _spec_decode_chunk(
                 self.params, self._cache, self._last_tok, self._ctx,
                 jnp.asarray(self._ctx_start), jnp.asarray(self._active),
-                jnp.asarray(self._temp), k_dec, cfg=self.cfg, steps=self.chunk,
+                jnp.asarray(self._temp), rseed, cfg=self.cfg, steps=self.chunk,
                 k=self.speculate_k, top_k=self.top_k)
             toks, counts = np.asarray(toks), np.asarray(counts)
         else:
             self._cache, self._last_tok, toks = _decode_chunk(
                 self.params, self._cache, self._last_tok,
-                jnp.asarray(self._active), jnp.asarray(self._temp), k_dec,
+                jnp.asarray(self._active), jnp.asarray(self._temp), rseed,
                 cfg=self.cfg, steps=self.chunk, top_k=self.top_k)
             toks = np.asarray(toks)[:, :, None]  # [B, chunk, 1]
             counts = np.ones(toks.shape[:2], np.int32)

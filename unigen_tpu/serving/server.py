@@ -172,7 +172,8 @@ class ServingHTTPServer:
             max_new_tokens=int(req.get("max_new_tokens")
                                or self.default_max_new_tokens),
             temperature=float(req.get("temperature") or 0.0),
-            eot_token=(int(eot) if eot is not None else None))
+            eot_token=(int(eot) if eot is not None else None),
+            seed=(int(req["seed"]) if req.get("seed") is not None else None))
 
     def _image(self, req: Dict[str, Any]) -> Dict[str, Any]:
         if self.image_engine is None:
@@ -232,6 +233,8 @@ class ServingHTTPServer:
                       or self.default_max_new_tokens)
         sub = {"prompt_ids": ids, "max_new_tokens": max_new,
                "temperature": float(req.get("temperature") or 0.0)}
+        if req.get("seed") is not None:   # OpenAI reproducibility param
+            sub["seed"] = int(req["seed"])
         if req.get("eot_token") is not None:
             sub["eot_token"] = int(req["eot_token"])
         fut = self._submit(sub)
