@@ -24,6 +24,9 @@ class UniGenTpu(lmms):
         batch_size: int = 1,
         mm_input_mode: str = "first",
         max_new_tokens: int = 512,
+        serving: bool = False,
+        serving_slots: int = 16,
+        serving_speculate_k: int = 0,
         **kwargs,
     ) -> None:
         super().__init__()
@@ -36,8 +39,14 @@ class UniGenTpu(lmms):
         cfg = initialize_config(config, overrides)
         pipeline = launch.build_pipeline(cfg)
         mode = "concat" if mm_input_mode == "concat" else "first"
+        # serving=True routes generate_until through the continuous-batching
+        # engine (docs/SERVING.md) — output-identical, higher throughput on
+        # mixed decode budgets
         self.adapter = UniGenLmmsAdapter(pipeline, multi_image_mode=mode,
-                                         max_new_tokens=max_new_tokens)
+                                         max_new_tokens=max_new_tokens,
+                                         serving=bool(serving),
+                                         serving_slots=int(serving_slots),
+                                         serving_speculate_k=int(serving_speculate_k))
         self.batch_size_per_gpu = int(batch_size)
 
     # --- lmms protocol -----------------------------------------------------
