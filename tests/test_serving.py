@@ -361,6 +361,23 @@ def test_engine_speculative_sampled_matches_plain(model):
     assert run(0) == run(3)
 
 
+def test_engine_speculative_with_quantized_cache(model):
+    """Speculation composes with the int8 KV cache: per-position quantization
+    scales make the (k+1)-wide verify write bit-identical to the plain int8
+    path's per-token writes, so accepted streams must match exactly."""
+    cfg, params = model
+    prompts = _prompts(cfg, [6, 10], seed=61)
+
+    def run(spec_k):
+        with ServingEngine(params, cfg, slots=2, max_len=64, buckets=(16,),
+                           chunk=3, quantized_cache=True,
+                           speculate_k=spec_k) as eng:
+            futs = [eng.submit(p, max_new_tokens=8) for p in prompts]
+            return [f.result(timeout=300) for f in futs]
+
+    assert run(0) == run(4)
+
+
 def test_engine_sampled_schedule_independent(model):
     """A sampled request with an explicit seed yields the SAME tokens no
     matter how it is scheduled: different slot counts, chunk sizes, queue
