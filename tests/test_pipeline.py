@@ -357,6 +357,31 @@ def test_vqa_splice_preserves_question_tokens(pipe):
     assert any(seq[i:i + len(sub)] == sub for i in range(len(seq)))
 
 
+def test_lmms_adapter_loglikelihood_batched_matches_single(pipe):
+    """The batched loglikelihood (device batches via score_continuations)
+    must reproduce the request-at-a-time scores bit-for-bit across mixed
+    question/continuation lengths and a padded final chunk."""
+    from PIL import Image
+    from unigen_tpu.evaluation.lmms_adapter import UniGenLmmsAdapter
+    imgs = [Image.new("RGB", (40, 30), (50 * i % 255, 20, 90)) for i in range(5)]
+    reqs = [("what is this?", "a cat", imgs[0]),
+            ("is the long object on the left red or blue?", "blue", imgs[1]),
+            ("how many?", "three objects in total", imgs[2]),
+            ("why?", "because", imgs[3]),
+            ("color?", "green", imgs[4])]
+    ab = UniGenLmmsAdapter(pipe, use_system_prompt=True, batch_size=3)
+    batched = ab.loglikelihood(reqs)
+    sys_ids = np.asarray([pipe.prompting._tokenize(
+        "<|im_start|>system\nYou are a helpful assistant.<|im_end|>\n")[0]])
+    for (ctx, cont, img), (lp_b, g_b) in zip(reqs, batched):
+        pixels = ab._prepare_image(img)[None]
+        cont_ids = np.asarray(pipe.prompting._tokenize(cont)[0], np.int64)
+        lp_s, g_s = pipe.score_continuation(pixels, ctx, cont_ids,
+                                            system_prompt_ids=sys_ids)
+        assert g_b == g_s
+        assert np.isclose(lp_b, lp_s, rtol=1e-5, atol=1e-5), (lp_b, lp_s)
+
+
 def test_lmms_adapter_loglikelihood(pipe):
     """loglikelihood: greedy continuation must score is_greedy=True and beat a
     perturbed continuation; per-request values are deterministic."""

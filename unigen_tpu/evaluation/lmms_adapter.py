@@ -270,19 +270,33 @@ class UniGenLmmsAdapter:
 
         Not exercised by the reference's task suite (generate_until-only
         benchmarks, reference :209-214) but part of the lmms-eval model
-        protocol: each request runs one scored forward through the mmu_vit
-        splice (pipeline.score_continuation)."""
-        out: List[Tuple[float, bool]] = []
+        protocol. Requests are grouped by predicted pixel shape and scored in
+        device batches of ``batch_size`` (one forward per batch,
+        pipeline.score_continuations); the final partial chunk pads by
+        repeating the last request so every chunk reuses one compiled shape.
+        Results equal the request-at-a-time path (tested); order preserved."""
+        out: List[Optional[Tuple[float, bool]]] = [None] * len(requests)
         sys_ids = None
         if self.use_system_prompt:
             sys_ids = np.asarray(
                 [self.pipeline.prompting._tokenize(QWEN_SYSTEM_PROMPT)[0]])
-        for context, continuation, images in requests:
-            pixels = self._prepare_image(images)[None]
-            cont_ids = np.asarray(
-                self.pipeline.prompting._tokenize(continuation)[0], np.int64)
-            out.append(self.pipeline.score_continuation(
-                pixels, context, cont_ids, system_prompt_ids=sys_ids))
+        shape_groups: Dict[tuple, List[int]] = {}
+        for i, (_, _, images) in enumerate(requests):
+            shape_groups.setdefault(self._prepared_shape(images), []).append(i)
+        for sidx in shape_groups.values():
+            for start in range(0, len(sidx), self.batch_size):
+                chunk = sidx[start:start + self.batch_size]
+                full = chunk + [chunk[-1]] * (self.batch_size - len(chunk))
+                pixels = np.stack([self._prepare_image(requests[i][2])
+                                   for i in full])
+                conts = [np.asarray(
+                    self.pipeline.prompting._tokenize(requests[i][1])[0],
+                    np.int64) for i in full]
+                scored = self.pipeline.score_continuations(
+                    pixels, [requests[i][0] for i in full], conts,
+                    system_prompt_ids=sys_ids)
+                for i, s in zip(chunk, scored[:len(chunk)]):
+                    out[i] = s
         return out
 
 

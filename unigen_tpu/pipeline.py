@@ -277,6 +277,49 @@ class UniGenPipeline:
             feats = _vision_forward(self.vision_params, self.vision_cfg, pixels)
         return _mm_project(self.params, feats)
 
+    def score_continuations(
+        self,
+        pixels: Array,
+        questions: Sequence[str],
+        continuations: Sequence[np.ndarray],
+        *,
+        system_prompt_ids: Optional[np.ndarray] = None,
+        length_bucket: int = 64,
+    ) -> List[tuple]:
+        """Batched ``score_continuation``: B (image, question, continuation)
+        triples in ONE scored forward. Question+continuation tails are
+        right-padded to the batch max then bucketed, so mixed lengths share a
+        compiled program; pad slots are excluded from attention and the sum
+        (same guarantees as the single-request path, which this reproduces
+        request-for-request — tested)."""
+        img_embeds = self._image_embeds(pixels)
+        b, p, _ = img_embeds.shape
+        q_ids = [self._vqa_question_ids(q) for q in questions]
+        maxq = max(len(q) for q in q_ids)
+        q_arr = np.full((b, maxq), self.prompting.pad_id, np.int64)
+        for i, q in enumerate(q_ids):
+            q_arr[i, :len(q)] = q
+        part1, part2, _, _ = self.prompting((np.zeros((b, p, 1)), q_arr, None,
+                                             system_prompt_ids), "mmu_conv")
+        # per-row real part2 length: 1 (eoi) + question tokens minus the
+        # consumed leading im_start (mmu_conv uses input_ids[:, 1:])
+        l2_real_q = np.asarray([len(q) for q in q_ids])
+        conts = [np.asarray(c, np.int64).reshape(-1) for c in continuations]
+        l2_real = l2_real_q + np.asarray([len(c) for c in conts])
+        l2 = -(-int(l2_real.max()) // length_bucket) * length_bucket
+        part2c = np.full((b, l2), self.prompting.pad_id, np.int64)
+        cont_mask = np.zeros((b, l2), bool)
+        for i in range(b):
+            part2c[i, :l2_real_q[i]] = part2[i, :l2_real_q[i]]
+            part2c[i, l2_real_q[i]:l2_real[i]] = conts[i]
+            cont_mask[i, l2_real_q[i]:l2_real[i]] = True
+        lp, greedy = _mmu_vit_score(
+            self.params, self.cfg, jnp.asarray(part1), jnp.asarray(part2c),
+            img_embeds, jnp.asarray(cont_mask),
+            jnp.asarray(l2_real, jnp.int32),
+            sys_len=0 if system_prompt_ids is None else system_prompt_ids.shape[1])
+        return [(float(lp[i]), bool(greedy[i])) for i in range(b)]
+
     def score_continuation(
         self,
         pixels: Array,
