@@ -42,6 +42,30 @@ def main():
     vs_params, vs_cfg = launch.build_vision_tower(config)
     assert vs_cfg is not None, "SFT needs model.vision_tower.name"
 
+    # Parameter-efficient SFT (beyond-reference; training/lora.py): with
+    # model.lora.rank set, adapters go on the backbone's dense layers, the
+    # optimizer trains only them (plus lora.extra_tunable modules — the MM
+    # projector by default, the usual LoRA-SFT recipe), and the final save
+    # can optionally export merged base weights.
+    lora_cfg = config.model.get("lora", {}) or {}
+    lora_rank = int(lora_cfg.get("rank", 0) or 0)
+    merge_on_save = False
+    if lora_rank > 0:
+        from unigen_tpu.training import lora as LORA
+        targets = lora_cfg.get("targets")
+        params = dict(params)
+        params["llm"] = LORA.add_lora(
+            params["llm"], jax.random.key(int(lora_cfg.get("seed", 7))),
+            lora_rank,
+            alpha=float(lora_cfg["alpha"]) if lora_cfg.get("alpha") is not None else None,
+            targets=tuple(targets) if targets else LORA.DEFAULT_TARGETS)
+        extra = lora_cfg.get("extra_tunable", ["mm_projector"])
+        config.model.mm_tunable_parts = list(LORA.lora_tunable_parts()) + list(extra or [])
+        merge_on_save = bool(lora_cfg.get("merge_on_save", False))
+        logger.info(f"LoRA rank {lora_rank}: "
+                    f"{LORA.lora_param_count(params['llm']):,} adapter params; "
+                    f"tunable = {config.model.mm_tunable_parts}")
+
     tr = config.training
     schedule = LRS.get_scheduler(
         config.lr_scheduler.scheduler,
@@ -186,8 +210,16 @@ def main():
         if global_step % config.experiment.get("save_every", 10000) == 0:
             CK.save_checkpoint(state, config.experiment.output_dir, global_step,
                                unwrapped_params=state.params)
+    final_params = state.params
+    if merge_on_save:
+        # export plain base weights (zero inference overhead; reloadable by
+        # every loader) alongside the trainer state
+        from unigen_tpu.training.lora import merge_lora
+        final_params = dict(final_params)
+        final_params["llm"] = merge_lora(final_params["llm"])
+        logger.info("merged LoRA adapters into the exported base weights")
     CK.save_checkpoint(state, config.experiment.output_dir, global_step,
-                       unwrapped_params=state.params)
+                       unwrapped_params=final_params)
 
 
 if __name__ == "__main__":

@@ -1,0 +1,166 @@
+"""LoRA / QLoRA adapters (training/lora.py) over the stacked-scan backbone.
+
+Beyond-reference capability (the reference only ships full fine-tuning with
+substring freezing, train_w_clip_vit.py:296-312); these tests pin the LoRA
+semantics: zero effect at init, runtime path == merged path, adapter-only
+training, int8-base (QLoRA) composition, and the cached decode path.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from unigen_tpu.models import qwen2 as Q
+from unigen_tpu.ops.quantization import quantize_qwen2_params
+from unigen_tpu.training import lora as L
+from unigen_tpu.training.optimizer import make_optimizer, trainable_mask
+
+
+@pytest.fixture(scope="module")
+def base():
+    cfg = Q.Qwen2Config.tiny(vocab_size=256)
+    params = Q.init(jax.random.key(0), cfg)
+    ids = jnp.asarray(np.random.default_rng(0).integers(0, 256, size=(2, 10)))
+    return cfg, params, ids
+
+
+def _logits(params, cfg, ids):
+    hidden, _ = Q.forward(params, cfg, input_ids=ids)
+    return Q.logits(params, cfg, hidden)
+
+
+def _randomize_b(params, key, scale=0.05):
+    """Give lora_b nonzero values so the adapters actually do something."""
+    def walk(tree, key):
+        if not isinstance(tree, dict):
+            return tree
+        out = {}
+        for k, v in tree.items():
+            if k == "lora_b":
+                key, sub = jax.random.split(key)
+                out[k] = jax.random.normal(sub, v.shape, jnp.float32).astype(v.dtype) * scale
+            else:
+                out[k] = walk(v, key)
+        return out
+    return walk(params, key)
+
+
+def test_zero_init_is_identity(base):
+    cfg, params, ids = base
+    adapted = L.add_lora(params, jax.random.key(1), rank=4, dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(_logits(adapted, cfg, ids)),
+                               np.asarray(_logits(params, cfg, ids)),
+                               atol=1e-6, rtol=1e-6)
+    # and the base tree was not mutated
+    assert "lora_a" not in params["layers"]["attn"]["q"]
+
+
+def test_runtime_matches_merged(base):
+    cfg, params, ids = base
+    adapted = L.add_lora(params, jax.random.key(1), rank=4, alpha=8.0,
+                         dtype=jnp.float32)
+    adapted = _randomize_b(adapted, jax.random.key(2))
+    merged = L.merge_lora(adapted)
+    assert "lora_a" not in merged["layers"]["attn"]["q"]
+    np.testing.assert_allclose(np.asarray(_logits(adapted, cfg, ids)),
+                               np.asarray(_logits(merged, cfg, ids)),
+                               atol=1e-4, rtol=1e-4)
+    # adapters changed the function (b is nonzero)
+    assert not np.allclose(np.asarray(_logits(adapted, cfg, ids)),
+                           np.asarray(_logits(params, cfg, ids)), atol=1e-3)
+
+
+def test_subset_targets(base):
+    cfg, params, ids = base
+    adapted = L.add_lora(params, jax.random.key(1), rank=2,
+                         targets=("attn/q", "attn/v"), dtype=jnp.float32)
+    assert "lora_a" in adapted["layers"]["attn"]["q"]
+    assert "lora_a" not in adapted["layers"]["attn"]["k"]
+    assert "lora_a" not in adapted["layers"]["mlp"]["gate"]
+    _logits(adapted, cfg, ids)  # runs
+    assert L.lora_param_count(adapted) == sum(
+        int(np.prod(s)) for s in [
+            (2, 64, 2), (2, 2, 64),          # q: a, b
+            (2, 64, 2), (2, 2, 32),          # v: a, b (kv heads: 2*16 = 32)
+            (2,), (2,)])                     # scales
+
+
+def test_strip_roundtrip(base):
+    cfg, params, ids = base
+    adapted = L.add_lora(params, jax.random.key(1), rank=4, dtype=jnp.float32)
+    stripped = L.strip_lora(adapted)
+    assert jax.tree_util.tree_structure(stripped) == \
+        jax.tree_util.tree_structure(params)
+    np.testing.assert_allclose(np.asarray(_logits(stripped, cfg, ids)),
+                               np.asarray(_logits(params, cfg, ids)))
+
+
+def test_qlora_int8_base(base):
+    cfg, params, ids = base
+    q_base = quantize_qwen2_params(params)
+    # both orders work: quantize-then-add and add-then-quantize
+    qlora1 = L.add_lora(q_base, jax.random.key(1), rank=4, dtype=jnp.float32)
+    qlora2 = quantize_qwen2_params(
+        L.add_lora(params, jax.random.key(1), rank=4, dtype=jnp.float32))
+    base_out = np.asarray(_logits(q_base, cfg, ids))
+    np.testing.assert_allclose(np.asarray(_logits(qlora1, cfg, ids)), base_out,
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(_logits(qlora2, cfg, ids)), base_out,
+                               atol=1e-6)
+    # nonzero adapters shift the int8 forward too
+    qlora3 = _randomize_b(qlora1, jax.random.key(2))
+    assert not np.allclose(np.asarray(_logits(qlora3, cfg, ids)), base_out,
+                           atol=1e-3)
+
+
+def test_training_updates_only_adapters(base):
+    cfg, params, ids = base
+    adapted = L.add_lora(params, jax.random.key(1), rank=4, dtype=jnp.float32)
+    tx = make_optimizer(adapted, 1e-2, lambda step: 1.0,
+                        weight_decay=0.0,
+                        tunable_parts=L.lora_tunable_parts())
+    opt_state = tx.init(adapted)
+    labels = jnp.roll(ids, -1, axis=1)
+
+    def loss_fn(p):
+        lg = _logits(p, cfg, ids)
+        return optax.softmax_cross_entropy_with_integer_labels(lg, labels).mean()
+
+    grads = jax.grad(loss_fn)(adapted)
+    updates, _ = tx.update(grads, opt_state, adapted)
+    new_params = optax.apply_updates(adapted, updates)
+
+    mask = trainable_mask(adapted, L.lora_tunable_parts())
+    changed = jax.tree_util.tree_map(
+        lambda old, new: bool(np.any(np.asarray(old) != np.asarray(new))),
+        adapted, new_params)
+    flat_changed = jax.tree_util.tree_leaves_with_path(changed)
+    flat_mask = jax.tree_util.tree_leaves(mask)
+    for (path, ch), m in zip(flat_changed, flat_mask):
+        name = "/".join(str(getattr(p, "key", p)) for p in path)
+        if not m:
+            assert not ch, f"frozen leaf moved: {name}"
+    # with b zero-init, step-1 gradient flows to b (a's grad is zero at b=0)
+    assert any(ch for (path, ch), m in zip(flat_changed, flat_mask)
+               if m and "lora_b" in "/".join(str(getattr(p, "key", p)) for p in path))
+
+
+def test_lora_with_kv_cache_decode(base):
+    """The cached layer scan tree-maps per-layer param slices — adapter leaves
+    must ride along; cached stepwise decode == merged-params uncached forward."""
+    cfg, params, ids = base
+    adapted = _randomize_b(
+        L.add_lora(params, jax.random.key(1), rank=4, dtype=jnp.float32),
+        jax.random.key(2))
+    merged = L.merge_lora(adapted)
+
+    cache = Q.init_kv_cache(cfg, ids.shape[0], 16, dtype=jnp.float32)
+    hidden_prefill, cache = Q.forward(adapted, cfg, input_ids=ids[:, :6],
+                                      cache=cache)
+    hidden_step, cache = Q.forward(adapted, cfg, input_ids=ids[:, 6:7],
+                                   cache=cache)
+    full_hidden, _ = Q.forward(merged, cfg, input_ids=ids[:, :7])
+    np.testing.assert_allclose(np.asarray(hidden_step[:, 0]),
+                               np.asarray(full_hidden[:, 6]),
+                               atol=1e-4, rtol=1e-4)

@@ -56,6 +56,29 @@ def test_train_sft_entry_smoke(tmp_path):
 
 
 @pytest.mark.slow
+def test_train_sft_lora_entry_smoke(tmp_path):
+    """LoRA SFT end-to-end (beyond-reference, training/lora.py): adapters on
+    the backbone, adapter-only optimizer, merged-base export at the end."""
+    out = str(tmp_path / "sft_lora")
+    r = _run_script("train_sft.py", "configs/tiny/smoke_sft.yaml", out,
+                    extra=("model.lora.rank=4", "model.lora.alpha=8",
+                           "model.lora.merge_on_save=true"))
+    log = r.stderr + r.stdout
+    assert "LoRA rank 4" in log
+    assert "merged LoRA adapters" in log
+    _assert_trained(out)
+    # the exported unwrapped weights are merged (no adapter leaves), while the
+    # trainer state keeps them (resume continues adapter training) — the Orbax
+    # _METADATA files list every tree path
+    ckpts = sorted(d for d in os.listdir(out) if d.startswith("checkpoint"))
+    unwrapped_md = open(os.path.join(out, ckpts[-1], "unwrapped_model",
+                                     "_METADATA")).read()
+    state_md = open(os.path.join(out, ckpts[-1], "state", "_METADATA")).read()
+    assert "mlp" in unwrapped_md and "lora_" not in unwrapped_md
+    assert "lora_" in state_md
+
+
+@pytest.mark.slow
 def test_train_dpo_entry_smoke_and_resume(tmp_path):
     out = str(tmp_path / "dpo")
     _run_script("train_dpo.py", "configs/tiny/smoke_dpo.yaml", out)

@@ -194,13 +194,25 @@ def rms_norm(x: Array, scale: Array, eps: float) -> Array:
     return (x * scale.astype(jnp.float32)).astype(dtype)
 
 
+def _lora_delta(p, x):
+    """Low-rank residual ``((x @ a) @ b) * scale`` (training/lora.py leaves).
+
+    The [*, r] bottleneck is tiny next to the base matmul; runs in x.dtype with
+    the per-layer fp32 scale folded at the end."""
+    y = (x @ p["lora_a"].astype(x.dtype)) @ p["lora_b"].astype(x.dtype)
+    return y * p["lora_scale"].astype(x.dtype)
+
+
 def _dense(p, x):
     if "kernel_int8" in p:
         from ..ops.quantization import dense_int8
-        return dense_int8(p, x)
-    y = x @ p["kernel"]
-    if "bias" in p:
-        y = y + p["bias"]
+        y = dense_int8(p, x)
+    else:
+        y = x @ p["kernel"]
+        if "bias" in p:
+            y = y + p["bias"]
+    if "lora_a" in p:
+        y = y + _lora_delta(p, x)
     return y
 
 
@@ -238,9 +250,16 @@ def _attention_block(p, cfg: Qwen2Config, x: Array, mask: Optional[Array],
         # q/k/v share the input: quantize activations once for all three
         from ..ops.quantization import dense_int8_prequant, quantize_activations
         xq, xs = quantize_activations(x)
-        q = dense_int8_prequant(p["q"], xq, xs, x.dtype).reshape(b, l, h, dh)
-        k = dense_int8_prequant(p["k"], xq, xs, x.dtype).reshape(b, l, kvh, dh)
-        v = dense_int8_prequant(p["v"], xq, xs, x.dtype).reshape(b, l, kvh, dh)
+        q = dense_int8_prequant(p["q"], xq, xs, x.dtype)
+        k = dense_int8_prequant(p["k"], xq, xs, x.dtype)
+        v = dense_int8_prequant(p["v"], xq, xs, x.dtype)
+        # QLoRA: bf16 adapters over the int8 base (per-projection — targets
+        # may cover only a subset, e.g. the attention-q/v-only recipe)
+        q, k, v = (y + _lora_delta(pp, x) if "lora_a" in pp else y
+                   for y, pp in ((q, p["q"]), (k, p["k"]), (v, p["v"])))
+        q = q.reshape(b, l, h, dh)
+        k = k.reshape(b, l, kvh, dh)
+        v = v.reshape(b, l, kvh, dh)
     else:
         q = _dense(p["q"], x).reshape(b, l, h, dh)
         k = _dense(p["k"], x).reshape(b, l, kvh, dh)
@@ -302,6 +321,10 @@ def _mlp_block(p, x: Array) -> Array:
         xq, xs = quantize_activations(x)
         gate = dense_int8_prequant(p["gate"], xq, xs, x.dtype)
         up = dense_int8_prequant(p["up"], xq, xs, x.dtype)
+        if "lora_a" in p["gate"]:
+            gate = gate + _lora_delta(p["gate"], x)
+        if "lora_a" in p["up"]:
+            up = up + _lora_delta(p["up"], x)
         return _dense(p["down"], jax.nn.silu(gate) * up)
     return _dense(p["down"], jax.nn.silu(_dense(p["gate"], x)) * _dense(p["up"], x))
 

@@ -41,6 +41,9 @@ def quantize_dense(p: dict) -> dict:
     out = {_QUANT_KEY: w_int8, "scale": scale}
     if "bias" in p:
         out["bias"] = p["bias"]
+    for k in p:  # QLoRA: bf16 adapter leaves ride along untouched
+        if k.startswith("lora_"):
+            out[k] = p[k]
     return out
 
 

@@ -75,14 +75,23 @@ def make_optimizer(
     if weight_decay:
         chain.append(optax.add_decayed_weights(weight_decay, mask=decay_mask(params)))
     if lr_mapper:
-        mults = lr_multiplier_mask(params, lr_mapper)
-
         def _scale_init(_):
             return optax.EmptyState()
 
         def _scale_update(updates, state, params=None):
+            # multipliers resolved from the update tree's own paths (not a
+            # captured full-params tree) so the transform also works inside
+            # multi_transform's masked subtrees, where frozen leaves become
+            # childless MaskedNode placeholders (LoRA + lr_mapper together)
             del params
-            return jax.tree_util.tree_map(lambda u, m: u * m, updates, mults), state
+
+            def mult(path, u):
+                s = _path_str(path)
+                for key, m in lr_mapper.items():
+                    if key in s:
+                        return u * m
+                return u
+            return jax.tree_util.tree_map_with_path(mult, updates), state
 
         chain.append(optax.GradientTransformation(_scale_init, _scale_update))
     chain.append(optax.scale_by_schedule(lambda step: -learning_rate * lr_schedule(step)))
