@@ -62,6 +62,21 @@ def main():
         extra = lora_cfg.get("extra_tunable", ["mm_projector"])
         config.model.mm_tunable_parts = list(LORA.lora_tunable_parts()) + list(extra or [])
         merge_on_save = bool(lora_cfg.get("merge_on_save", False))
+        if merge_on_save:
+            # fail fast at launch, not after all training steps: merge_lora
+            # refuses int8-only nodes (QLoRA base), so validate mergeability
+            # while the config is being parsed
+            tgt = tuple(targets) if targets else LORA.DEFAULT_TARGETS
+            for path in tgt:
+                node = params["llm"]["layers"]
+                for part in path.split("/"):
+                    node = node[part]
+                if "kernel" not in node:
+                    raise ValueError(
+                        f"model.lora.merge_on_save=true but target '{path}' has an "
+                        "int8-only base (QLoRA): merging would change the "
+                        "quantization grid. Train with merge_on_save=false and "
+                        "keep adapters on the runtime path, or use a bf16 base.")
         logger.info(f"LoRA rank {lora_rank}: "
                     f"{LORA.lora_param_count(params['llm']):,} adapter params; "
                     f"tunable = {config.model.mm_tunable_parts}")

@@ -68,14 +68,24 @@ def test_train_sft_lora_entry_smoke(tmp_path):
     assert "merged LoRA adapters" in log
     _assert_trained(out)
     # the exported unwrapped weights are merged (no adapter leaves), while the
-    # trainer state keeps them (resume continues adapter training) — the Orbax
-    # _METADATA files list every tree path
-    ckpts = sorted(d for d in os.listdir(out) if d.startswith("checkpoint"))
-    unwrapped_md = open(os.path.join(out, ckpts[-1], "unwrapped_model",
-                                     "_METADATA")).read()
-    state_md = open(os.path.join(out, ckpts[-1], "state", "_METADATA")).read()
-    assert "mlp" in unwrapped_md and "lora_" not in unwrapped_md
-    assert "lora_" in state_md
+    # trainer state keeps them (resume continues adapter training) — list tree
+    # paths via the public Orbax metadata API (not internal _METADATA files)
+    import jax
+    import orbax.checkpoint as ocp
+
+    def _tree_paths(sub):
+        ckpts = sorted(d for d in os.listdir(out) if d.startswith("checkpoint"))
+        with ocp.StandardCheckpointer() as ck:
+            md = ck.metadata(os.path.abspath(os.path.join(out, ckpts[-1], sub)))
+        leaves = jax.tree_util.tree_leaves_with_path(md.item_metadata)
+        return ["/".join(str(getattr(p, "key", p)) for p in path)
+                for path, _ in leaves]
+
+    unwrapped_paths = _tree_paths("unwrapped_model")
+    state_paths = _tree_paths("state")
+    assert any("mlp" in p for p in unwrapped_paths)
+    assert not any("lora_" in p for p in unwrapped_paths)
+    assert any("lora_" in p for p in state_paths)
 
 
 @pytest.mark.slow

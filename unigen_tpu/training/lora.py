@@ -122,8 +122,12 @@ def merge_lora(llm_params: PyTree) -> PyTree:
 
 def lora_tunable_parts() -> Tuple[str, ...]:
     """The ``tunable_parts`` entry that freezes everything but the adapters
-    (optimizer.trainable_mask matches path substrings)."""
-    return ("lora_",)
+    (optimizer.trainable_mask matches path substrings).
+
+    ``lora_scale`` is deliberately excluded: it encodes the fixed alpha/r
+    ratio (Hu et al. keep it constant), so only the low-rank factors train.
+    """
+    return ("lora_a", "lora_b")
 
 
 def lora_param_count(llm_params: PyTree) -> int:

@@ -16,7 +16,11 @@ import optax
 
 PyTree = Any
 
-NO_DECAY_PATTERNS = ("bias", "ln/scale", "final_ln", "embed/weight", "pos_embed")
+NO_DECAY_PATTERNS = ("bias", "ln/scale", "final_ln", "embed/weight", "pos_embed",
+                     # LoRA leaves never decay: decaying lora_a while its grad is
+                     # zero (b=0) would silently shrink the adapter, and
+                     # lora_scale is a fixed alpha/r constant, not a weight
+                     "lora_")
 
 
 def _path_str(path) -> str:
