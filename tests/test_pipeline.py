@@ -74,6 +74,23 @@ def test_understand_vision_tower_end_to_end(pipe):
     assert toks.shape == (2, 4)
 
 
+def test_understand_vision_tower_int8_end_to_end(pipe):
+    """The launch.build_pipeline model.quantization=int8 configuration in situ:
+    int8 backbone + heads + int8 SigLIP tower through the full VQA path."""
+    from unigen_tpu.ops.quantization import (quantize_siglip_params,
+                                             quantize_unigen_params)
+    qpipe = UniGenPipeline(
+        quantize_unigen_params(pipe.params, pipe.cfg, lm_head=True), pipe.cfg,
+        pipe.vq_params, pipe.vq_cfg, pipe.prompting,
+        vision_params=quantize_siglip_params(pipe.vision_params),
+        vision_cfg=pipe.vision_cfg)
+    px = jax.random.uniform(jax.random.key(5), (2, 28, 28, 3), minval=-1, maxval=1)
+    toks = qpipe.understand(px, ["is there a cat?", "is it red?"], jax.random.key(6),
+                            max_new_tokens=4)
+    assert toks.shape == (2, 4)
+    assert np.isfinite(np.asarray(toks)).all()
+
+
 def test_run_geneval_writes_layout(pipe, tmp_path):
     md = [{"prompt": "a red cat"}, {"prompt": "two dogs"}]
     out = str(tmp_path / "geneval")

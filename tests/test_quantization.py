@@ -347,3 +347,40 @@ def test_ar_sampler_quantized_cache_runs():
                           quantized_cache=True)
     a = np.asarray(out)
     assert a.shape == (b, n) and (a >= 0).all() and (a < cfg.codebook_size).all()
+
+
+def test_siglip_int8_feature_agreement():
+    """Gate for the int8 W8A8 SigLIP tower (the lmms prefill fast path).
+
+    The tower feeds the MM projector, not a softmax — so the gate is feature
+    cosine, mirroring test_quantized_backbone_close_to_bf16's hidden-state gate."""
+    from unigen_tpu.models import siglip as S
+    from unigen_tpu.ops.quantization import quantize_siglip_params
+    cfg = S.SiglipConfig.tiny()
+    params = S.init(jax.random.key(0), cfg)
+    qparams = quantize_siglip_params(params)
+    assert qparams["layers"]["attn"]["q"]["kernel_int8"].dtype == jnp.int8
+    assert "kernel" not in qparams["layers"]["mlp"]["fc1"]
+    # patch embed + layernorms untouched
+    assert "kernel" in qparams["patch_embed"]
+    px = jax.random.normal(jax.random.key(1), (2, cfg.image_size, cfg.image_size, 3),
+                           jnp.float32)
+    ref = np.asarray(S.forward(params, cfg, px), np.float32)
+    got = np.asarray(S.forward(qparams, cfg, px), np.float32)
+    cos = (ref * got).sum() / (np.linalg.norm(ref) * np.linalg.norm(got))
+    assert cos > 0.99, cos
+
+
+def test_siglip_flash_bidir_attention_parity():
+    """The padded Pallas path (head_dim -> 128 zero-pad, bidir meta) must match
+    eager full attention: zero-padded channels contribute nothing to q.k^T and
+    the padded output channels are sliced off."""
+    from unigen_tpu.models.siglip import _bidir_attention
+    from unigen_tpu.ops.attention import dot_product_attention
+    b, l, h, dh = 2, 9, 4, 8  # dh=8 pads to 128; l=9 exercises a ragged q block
+    key = jax.random.key(0)
+    q, k, v = (jax.random.normal(kk, (b, l, h, dh), jnp.float32)
+               for kk in jax.random.split(key, 3))
+    ref = np.asarray(dot_product_attention(q, k, v, scale=dh ** -0.5))
+    got = np.asarray(_bidir_attention(q, k, v, dh ** -0.5, force_flash=True))
+    np.testing.assert_allclose(got, ref, rtol=2e-5, atol=2e-5)

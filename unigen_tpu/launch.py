@@ -270,5 +270,18 @@ def build_pipeline(config: Config, dtype=None) -> UniGenPipeline:
     params, cfg = build_unigen(config, prompting, dtype)
     vq_params, vq_cfg = build_vq(config, dtype)
     vs_params, vs_cfg = build_vision_tower(config, dtype)
+    # model.quantization=int8 puts the whole inference path on the W8A8 MXU
+    # lane: backbone + both heads + the SigLIP tower (the measured lmms
+    # bottleneck, BENCH.md). Quality-gated in tests/test_quantization.py;
+    # real-weights score gate in docs/WEIGHTS.md §6.
+    if str(config.model.get("quantization", "")).lower() == "int8":
+        from .models import siglip
+        from .ops.quantization import quantize_siglip_params, quantize_unigen_params
+        params = jax.jit(lambda p: quantize_unigen_params(p, cfg, lm_head=True))(params)
+        if vs_params is not None and isinstance(vs_cfg, siglip.SiglipConfig):
+            vs_params = jax.jit(quantize_siglip_params)(vs_params)
+            logger.info("backbone + heads + SigLIP tower quantized to int8 W8A8")
+        else:
+            logger.info("backbone + heads quantized to int8 W8A8")
     return UniGenPipeline(params, cfg, vq_params, vq_cfg, prompting,
                           vision_params=vs_params, vision_cfg=vs_cfg)

@@ -112,7 +112,38 @@ def layer_norm(p, x: Array, eps: float) -> Array:
 
 
 def _dense(p, x):
+    if "kernel_int8" in p:
+        from ..ops.quantization import dense_int8
+        return dense_int8(p, x)
     return x @ p["kernel"].astype(x.dtype) + p["bias"].astype(x.dtype)
+
+
+def _bidir_attention(q: Array, k: Array, v: Array, scale: float,
+                     force_flash: Optional[bool] = None) -> Array:
+    """Full (unmasked) self-attention over the patch grid.
+
+    On TPU the eager path materializes a [B, H, P, P] fp32 logits tensor in
+    HBM per layer (~272MB at batch 8 / 729 patches — the dominant tower HBM
+    traffic); route through the Pallas flash kernel instead. SO400M's
+    head_dim is 72: zero-pad q/k/v to the kernel's 128-lane tile — exact
+    (zeros contribute nothing to the contraction; padded output channels are
+    sliced off) at 78% extra attention-matmul FLOPs, a good trade for
+    removing the logits round trip. The explicit ``scale`` keeps the real
+    1/sqrt(72) under padding. CPU/CI takes the XLA path by default;
+    ``force_flash=True`` routes through the kernel anyway (interpret mode off
+    TPU) for the parity test in tests/test_quantization.py."""
+    on_tpu = jax.default_backend() == "tpu"
+    if force_flash if force_flash is not None else on_tpu:
+        from ..ops.flash_attention import _BIDIRQ_BIT, flash_attention
+        b, l, h, dh = q.shape
+        pad = (-dh) % 128
+        if pad:
+            cfgpad = [(0, 0)] * 3 + [(0, pad)]
+            q, k, v = (jnp.pad(t, cfgpad) for t in (q, k, v))
+        meta = jnp.full((b, l), _BIDIRQ_BIT, jnp.int32)
+        out = flash_attention(q, k, v, meta, scale=scale, interpret=not on_tpu)
+        return out[..., :dh] if pad else out
+    return dot_product_attention(q, k, v, scale=scale)
 
 
 def _encoder_layer(p, cfg: SiglipConfig, x: Array) -> Array:
@@ -121,10 +152,18 @@ def _encoder_layer(p, cfg: SiglipConfig, x: Array) -> Array:
     dh = d // h
     res = x
     x = layer_norm(p["ln1"], x, cfg.layer_norm_eps)
-    q = _dense(p["attn"]["q"], x).reshape(b, l, h, dh)
-    k = _dense(p["attn"]["k"], x).reshape(b, l, h, dh)
-    v = _dense(p["attn"]["v"], x).reshape(b, l, h, dh)
-    attn = dot_product_attention(q, k, v).reshape(b, l, d)
+    if "kernel_int8" in p["attn"]["q"]:
+        # q/k/v share the input: quantize activations once for all three
+        from ..ops.quantization import dense_int8_prequant, quantize_activations
+        x8, xs = quantize_activations(x)
+        q = dense_int8_prequant(p["attn"]["q"], x8, xs, x.dtype).reshape(b, l, h, dh)
+        k = dense_int8_prequant(p["attn"]["k"], x8, xs, x.dtype).reshape(b, l, h, dh)
+        v = dense_int8_prequant(p["attn"]["v"], x8, xs, x.dtype).reshape(b, l, h, dh)
+    else:
+        q = _dense(p["attn"]["q"], x).reshape(b, l, h, dh)
+        k = _dense(p["attn"]["k"], x).reshape(b, l, h, dh)
+        v = _dense(p["attn"]["v"], x).reshape(b, l, h, dh)
+    attn = _bidir_attention(q, k, v, dh ** -0.5).reshape(b, l, d)
     x = res + _dense(p["attn"]["o"], attn)
     res = x
     x = layer_norm(p["ln2"], x, cfg.layer_norm_eps)

@@ -102,6 +102,30 @@ def quantize_qwen2_params(params: PyTree) -> PyTree:
     return out
 
 
+def quantize_siglip_params(params: PyTree) -> PyTree:
+    """Quantize the SigLIP tower's dense layers (q/k/v/o, fc1/fc2) to W8A8.
+
+    The tower is the measured bottleneck of the lmms end-to-end path (BENCH.md:
+    660 tok/s end-to-end vs 5175 decode-only; batch 32 regresses because the
+    729-patch prefill outgrows decode amortization). Same scheme as the
+    backbone: per-out-channel weight scales, dynamic per-token activation
+    scales, int32 MXU accumulation. Patch embed (conv) and layernorms stay in
+    the tower dtype — they are a rounding error of the FLOPs. Gated by
+    tests/test_quantization.py::test_siglip_int8_feature_agreement."""
+    out = dict(params)
+    layers = dict(params["layers"])
+    attn = dict(layers["attn"])
+    for name in ("q", "k", "v", "o"):
+        attn[name] = jax.vmap(quantize_dense)(attn[name])
+    mlp = dict(layers["mlp"])
+    for name in ("fc1", "fc2"):
+        mlp[name] = jax.vmap(quantize_dense)(mlp[name])
+    layers["attn"] = attn
+    layers["mlp"] = mlp
+    out["layers"] = layers
+    return out
+
+
 def quantize_lm_head(llm_params: PyTree, llm_cfg) -> PyTree:
     """Add an int8 copy of the (tied) lm_head to a Qwen2 param tree.
 
