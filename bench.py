@@ -310,6 +310,87 @@ def bench_vqa(batch_size: int = 8, prompt_len: int = 600, max_new_tokens: int = 
                                  "max_new_tokens": max_new_tokens}}))
 
 
+def bench_lmms(batch_sizes=(8, 16, 32), n_requests: int = 64,
+               max_new_tokens: int = 64, quant: str = "int8", slots: int = 16,
+               tiny: bool = False):
+    """lmms-eval adapter END-TO-END throughput: PIL images -> siglip_preprocess
+    -> SigLIP tower -> MM projector -> prompt splice -> continuous-batching
+    prefix-LM decode -> detokenize (the full generate_until protocol the
+    reference runs batch-1, third_party/lmms/models/unigen.py:259-430).
+
+    Flagship shapes at the round-3 protocol (384px images, 64 new tokens per
+    request); int8 = W8A8 backbone + heads + SigLIP tower + int8 KV cache.
+    Sweeps the vision-prefill micro-batch (adapter ``batch_size``); decode
+    always rides the shared continuous-batching engine, and since round 4 the
+    tower embeds stay device-resident so vision prefill of waiting requests
+    overlaps in-flight decode chunks.
+    """
+    import jax
+
+    from unigen_tpu import launch
+    from unigen_tpu.evaluation.lmms_adapter import UniGenLmmsAdapter
+    from unigen_tpu.utils.configuration import initialize_config
+
+    _enable_compile_cache()
+    overrides = ["model.quantization=int8"] if quant == "int8" else []
+    if tiny:  # CPU smoke: same control flow on toy shapes
+        jax.config.update("jax_platforms", "cpu")
+        yaml = "configs/tiny/smoke_sft.yaml"
+        n_requests, batch_sizes, max_new_tokens, slots = 6, (2,), 8, 4
+    else:
+        yaml = "configs/unigen_1_5b/unigen_sft.yaml"
+    pipe = launch.build_pipeline(initialize_config(yaml, overrides))
+
+    from PIL import Image
+    rng = np.random.default_rng(0)
+    size = pipe.vision_cfg.image_size
+    questions = ["What is in this image?", "Is there a cat?",
+                 "Describe the scene in detail.", "What color is the object?"]
+
+    def make_requests(n, seed_off=0):
+        reqs = []
+        for i in range(n):
+            img = Image.fromarray(
+                rng.integers(0, 255, size=(size, size, 3), dtype=np.uint8))
+            reqs.append((questions[(i + seed_off) % len(questions)],
+                         {"max_new_tokens": max_new_tokens}, [img]))
+        return reqs
+
+    results = []
+    for bs in batch_sizes:
+        adapter = UniGenLmmsAdapter(
+            pipe, serving=True, batch_size=bs, max_new_tokens=max_new_tokens,
+            serving_slots=slots, serving_chunk=8,
+            serving_quantized_cache=(quant == "int8" and not tiny))
+        with _Watchdog(2400):
+            t0 = time.perf_counter()
+            adapter.generate_until(make_requests(min(4, n_requests), seed_off=1))
+            print(f"[bench] lmms bs={bs} compile+warmup: "
+                  f"{time.perf_counter() - t0:.1f}s", file=sys.stderr)
+        with _Watchdog(1800):
+            reqs = make_requests(n_requests)
+            t0 = time.perf_counter()
+            outs = adapter.generate_until(reqs)
+            dt = time.perf_counter() - t0
+        assert len(outs) == n_requests and all(o is not None for o in outs)
+        toks = sum(s.tokens_generated for s in adapter.last_stats)
+        tps = toks / dt
+        results.append((bs, tps, n_requests / dt))
+        print(f"[bench] lmms bs={bs}: {dt:.2f}s, {toks} tokens, "
+              f"{tps:.0f} tok/s, {n_requests / dt:.1f} req/s", file=sys.stderr)
+    best = max(results, key=lambda r: r[1])
+    print(json.dumps({
+        "metric": f"lmms end-to-end tokens/sec/chip (vision+prefill+decode) "
+                  f"[{quant}]",
+        "value": round(best[1], 1), "unit": "tokens/sec/chip",
+        "vs_baseline": None, "synced": True,
+        "config": {"quant": quant, "n_requests": n_requests, "slots": slots,
+                   "max_new_tokens": max_new_tokens, "image_size": size,
+                   "best_batch": best[0]},
+        "sweep": [{"batch": b, "tok_s": round(t, 1), "req_s": round(r, 2)}
+                  for b, t, r in results]}))
+
+
 def bench_serve(slots: int = 32, n_requests: int = 96, prompt_len: int = 600,
                 chunk: int = 16, quant: Optional[str] = "int8+kv",
                 seed: int = 0, tiny: bool = False, speculate_k: int = 0):
@@ -731,6 +812,11 @@ if __name__ == "__main__":
         bench_vqa(batch_size=int(nums[0]) if nums else 8, quant=q)
     elif args and args[0] == "tokenizer":
         bench_tokenizer(batch_size=int(args[1]) if len(args) > 1 else 16)
+    elif args and args[0] == "lmms":
+        nums = [int(a) for a in args[1:] if a.isdigit()]
+        bench_lmms(batch_sizes=tuple(nums) or (8, 16, 32),
+                   quant="bf16" if "bf16" in args else "int8",
+                   tiny="tiny" in args)
     elif args and args[0] == "serve":
         nums = [a for a in args[1:] if a.isdigit()]
         q = next((a for a in args if a in ("int8", "int8kv", "int8+kv", "bf16")), "int8+kv")

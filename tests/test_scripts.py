@@ -187,3 +187,19 @@ def test_serve_entry_smoke(tmp_path):
             proc.wait(timeout=30)
         except subprocess.TimeoutExpired:
             proc.kill()
+
+
+@pytest.mark.slow
+def test_bench_lmms_tiny_smoke():
+    """`python bench.py lmms tiny` — the lmms end-to-end bench's control flow
+    (PIL -> preprocess -> tower -> splice -> serving engine -> detokenize) on
+    toy shapes, CPU-forced. Asserts the one-line JSON contract holds."""
+    env = dict(os.environ, JAX_PLATFORMS="cpu",
+               XLA_FLAGS="--xla_force_host_platform_device_count=1")
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py"), "lmms", "tiny"],
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=900)
+    assert r.returncode == 0, f"bench lmms tiny failed:\n{r.stderr[-4000:]}"
+    row = json.loads(r.stdout.strip().splitlines()[-1])
+    assert row["unit"] == "tokens/sec/chip" and row["value"] > 0
+    assert row["sweep"] and row["config"]["quant"] == "int8"

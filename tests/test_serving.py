@@ -201,7 +201,12 @@ def test_engine_embeddings_path_matches_mmu_generate(model):
                        chunk=4) as eng:
         got = eng.submit_embeds(np.asarray(emb), mask, plen,
                                 max_new_tokens=7).result(120)
+        # device-resident embeds/mask (the prefill/decode-overlap path used by
+        # pipeline.vqa_serving_inputs) must be token-identical to the numpy path
+        got_dev = eng.submit_embeds(emb, jnp.asarray(mask), plen,
+                                    max_new_tokens=7).result(120)
     assert got == np.asarray(ref)[0].tolist()
+    assert got_dev == got
 
 
 def test_engine_rejects_oversized(model):

@@ -57,6 +57,7 @@ class UniGenLmmsAdapter:
     serving_quantized_cache: bool = False
     serving_speculate_k: int = 0           # prompt-lookup speculative decode
     request_timeout: float = 3600.0
+    last_stats: Optional[List[Any]] = None  # EngineStats per serving engine run
 
     def _prepare_image(self, images) -> np.ndarray:
         if isinstance(images, (list, tuple)):
@@ -229,6 +230,7 @@ class UniGenLmmsAdapter:
         by_topk: Dict[Any, List[int]] = {}  # top_k is engine-static
         for i, m in enumerate(metas):
             by_topk.setdefault(m[3], []).append(i)
+        self.last_stats = []
         for top_k, idxs in by_topk.items():
             results: Dict[int, List[int]] = {}
             with ServingEngine(pipe.params, pipe.cfg, slots=self.serving_slots,
@@ -257,6 +259,7 @@ class UniGenLmmsAdapter:
                                 lookup_ids=lookup)
                 results = {i: f.result(timeout=self.request_timeout)
                            for i, f in futs.items()}
+                self.last_stats.append(eng.stats)
             for i, toks in results.items():
                 text = pipe.decode_text(np.asarray([toks], np.int64))[0]
                 for stop in requests[i][1].get("until", []) or []:

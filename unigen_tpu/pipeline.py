@@ -393,7 +393,14 @@ class UniGenPipeline:
                 sys_len=sys_len)
             lookup = np.concatenate(
                 [part1[0], np.zeros((p,), np.int64), part2[0]]).astype(np.int32)
-            out.append((np.asarray(embeds), np.asarray(attn), plen, lookup))
+            # embeds/attn stay DEVICE-resident: np.asarray here would block the
+            # submitter on the tower forward and round-trip [1, L, D] through
+            # host memory per request, serializing vision prefill against the
+            # engine's decode chunks. Returning the jax.Arrays lets async
+            # dispatch pipeline tower forwards of waiting requests behind
+            # in-flight decode (ServingEngine.submit_embeds admits them
+            # without a host sync).
+            out.append((embeds, attn, plen, lookup))
         return out
 
     def understand(

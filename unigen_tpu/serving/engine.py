@@ -579,12 +579,21 @@ class ServingEngine:
             ids = np.asarray(lookup_ids, np.int32).reshape(-1)[:l]
             lk[0, :len(ids)] = ids
         rid = next(self._rid)
+        # Device-resident embeds/mask (pipeline.vqa_serving_inputs) pass
+        # through untouched — np.asarray here would block this thread on the
+        # vision-tower forward and round-trip the splice through host memory,
+        # defeating prefill/decode overlap. Host arrays are kept as numpy;
+        # admission uploads them once.
+        if not isinstance(inputs_embeds, jax.Array):
+            inputs_embeds = np.asarray(inputs_embeds)
+        if not isinstance(attn_mask, jax.Array):
+            attn_mask = np.asarray(attn_mask, bool)
         return self._enqueue(_Request(
             rid=rid, future=None, prompt_len=prompt_len,
             max_new_tokens=max_new_tokens, temperature=temperature,
             eot_token=eot_token, seed=self._request_seed(rid, seed),
-            inputs_embeds=np.asarray(inputs_embeds),
-            attn_mask=np.asarray(attn_mask, bool), lookup_ids=lk))
+            inputs_embeds=inputs_embeds,
+            attn_mask=attn_mask, lookup_ids=lk))
 
     def _check_fit(self, bucket_len: int, max_new: int) -> None:
         if max_new < 1:
