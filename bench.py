@@ -190,21 +190,37 @@ def main(batch_size: int = 6, timesteps: int = 50, warmup: int = 1, iters: int =
             _, _ = phase(f"decoder compile+warmup{label}", 900,
                          lambda: sync_px(decoder(vq_params,
                                                  jnp.asarray(codes, jnp.int32))))
-            for i in range(iters):
-                with _Watchdog(300):
-                    t0 = time.perf_counter()
+            # Pipelined steady-state throughput: enqueue every iteration's
+            # sampler+decoder up front (async dispatch), then fence them in
+            # order. The device runs the programs back-to-back — MAGViT decode
+            # of batch i overlaps host work for batch i+1 and no per-iter
+            # host→device round trip sits on the critical path (the 0.075
+            # s/iter fixed cost measured in BENCH.md r3 was exactly that
+            # round trip). This is the serving discipline: a GenEval run
+            # evaluates thousands of prompts batch-after-batch with no data
+            # dependency between batches (reference inference_unigen.py
+            # evaluates synchronously, stranding the gap).
+            with _Watchdog(300 * iters):
+                t0 = time.perf_counter()
+                pxs = []
+                for i in range(iters):
                     c = sampler(run_params, run_ids, run_uncond,
                                 jax.random.key(3 + i))
-                    px = decoder(vq_params, c)
+                    pxs.append(decoder(vq_params, c))
+                for i, px in enumerate(pxs):
                     sync_px(px)
                     run_times.append(time.perf_counter() - t0)
-                print(f"[bench] iter {i}{label}: {run_times[-1]:.2f}s",
-                      file=sys.stderr)
+                    print(f"[bench] iter {i}{label}: +"
+                          f"{run_times[-1] - (run_times[-2] if i else 0.0):.2f}s",
+                          file=sys.stderr)
         except TimeoutError:
             run_synced = False
             print(f"[bench] phase{label} wedged or over budget; reporting what "
                   "completed", file=sys.stderr)
-        rate = run_batch / min(run_times) / jax.device_count() if run_times else 0.0
+        if not run_times:
+            return 0.0, run_synced
+        # steady-state rate: total pipelined images over total wall
+        rate = run_batch * len(run_times) / run_times[-1] / jax.device_count()
         return rate, run_synced
 
     img_per_sec_per_chip, synced = timed_run(params, ids, uncond, batch_size)
@@ -268,12 +284,19 @@ def bench_vqa(batch_size: int = 8, prompt_len: int = 600, max_new_tokens: int = 
         from unigen_tpu.ops.quantization import quantize_unigen_params
         params = jax.jit(lambda p: quantize_unigen_params(p, cfg, lm_head=True))(params)
         print("[bench] vqa backbone+lm_head quantized to int8", file=sys.stderr)
+    elif quant in ("int4", "int4+kv"):
+        # W4A8 decode: halves the dominant dense-weight read of the HBM-bound
+        # decode loop (VERDICT r3 #5). Opt-in — lossier than int8.
+        from unigen_tpu.ops.int4 import quantize_unigen_params_int4
+        params = jax.jit(lambda p: quantize_unigen_params_int4(p, cfg))(params)
+        print("[bench] vqa backbone+lm_head quantized to int4 (W4A8)",
+              file=sys.stderr)
     rng = np.random.default_rng(0)
     ids = jnp.asarray(rng.integers(10, 1000, size=(batch_size, prompt_len)))
     ids = ids.at[:, 2].set(151665).at[:, 400].set(151666)  # soi .. eoi prefix block
     prompt_lens = jnp.full((batch_size,), prompt_len)
 
-    quant_kv = quant in ("int8kv", "int8+kv")
+    quant_kv = quant in ("int8kv", "int8+kv", "int4+kv")
 
     def run(params, ids, key):
         attn = M.create_attention_mask_for_mmu(ids, eoi_id=151666)
@@ -808,7 +831,8 @@ if __name__ == "__main__":
     args = sys.argv[1:]
     if args and args[0] == "vqa":
         nums = [a for a in args[1:] if a.isdigit()]
-        q = next((a for a in args if a in ("int8", "int8kv", "int8+kv")), None)
+        q = next((a for a in args if a in
+                  ("int8", "int8kv", "int8+kv", "int4", "int4+kv")), None)
         bench_vqa(batch_size=int(nums[0]) if nums else 8, quant=q)
     elif args and args[0] == "tokenizer":
         bench_tokenizer(batch_size=int(args[1]) if len(args) > 1 else 16)

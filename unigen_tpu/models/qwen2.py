@@ -203,8 +203,24 @@ def _lora_delta(p, x):
     return y * p["lora_scale"].astype(x.dtype)
 
 
+def _quant_prequant(p, x8, xs, dtype):
+    """Quantized matmul over shared pre-quantized activations: W8A8 or W4A8."""
+    if "kernel_int4" in p:
+        from ..ops.int4 import dense_int4_prequant
+        return dense_int4_prequant(p, x8, xs, dtype)
+    from ..ops.quantization import dense_int8_prequant
+    return dense_int8_prequant(p, x8, xs, dtype)
+
+
+def _is_quant(p) -> bool:
+    return "kernel_int8" in p or "kernel_int4" in p
+
+
 def _dense(p, x):
-    if "kernel_int8" in p:
+    if "kernel_int4" in p:
+        from ..ops.int4 import dense_int4
+        y = dense_int4(p, x)
+    elif "kernel_int8" in p:
         from ..ops.quantization import dense_int8
         y = dense_int8(p, x)
     else:
@@ -246,13 +262,13 @@ def _attention_block(p, cfg: Qwen2Config, x: Array, mask: Optional[Array],
     slice through scan ys (~0.7GB/step of pure copy at serving batch 32)."""
     b, l, _ = x.shape
     h, kvh, dh = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
-    if "kernel_int8" in p["q"]:
+    if _is_quant(p["q"]):
         # q/k/v share the input: quantize activations once for all three
-        from ..ops.quantization import dense_int8_prequant, quantize_activations
+        from ..ops.quantization import quantize_activations
         xq, xs = quantize_activations(x)
-        q = dense_int8_prequant(p["q"], xq, xs, x.dtype)
-        k = dense_int8_prequant(p["k"], xq, xs, x.dtype)
-        v = dense_int8_prequant(p["v"], xq, xs, x.dtype)
+        q = _quant_prequant(p["q"], xq, xs, x.dtype)
+        k = _quant_prequant(p["k"], xq, xs, x.dtype)
+        v = _quant_prequant(p["v"], xq, xs, x.dtype)
         # QLoRA: bf16 adapters over the int8 base (per-projection — targets
         # may cover only a subset, e.g. the attention-q/v-only recipe)
         q, k, v = (y + _lora_delta(pp, x) if "lora_a" in pp else y
@@ -315,12 +331,12 @@ def _attention_block(p, cfg: Qwen2Config, x: Array, mask: Optional[Array],
 
 
 def _mlp_block(p, x: Array) -> Array:
-    if "kernel_int8" in p["gate"]:
+    if _is_quant(p["gate"]):
         # gate/up share the input: one activation quantization for both
-        from ..ops.quantization import dense_int8_prequant, quantize_activations
+        from ..ops.quantization import quantize_activations
         xq, xs = quantize_activations(x)
-        gate = dense_int8_prequant(p["gate"], xq, xs, x.dtype)
-        up = dense_int8_prequant(p["up"], xq, xs, x.dtype)
+        gate = _quant_prequant(p["gate"], xq, xs, x.dtype)
+        up = _quant_prequant(p["up"], xq, xs, x.dtype)
         if "lora_a" in p["gate"]:
             gate = gate + _lora_delta(p["gate"], x)
         if "lora_a" in p["up"]:
@@ -461,8 +477,17 @@ def logits(params: PyTree, cfg: Qwen2Config, hidden: Array,
     weight read.
     """
     if "lm_head_q" in params:
-        from ..ops.quantization import dense_int8
         p = params["lm_head_q"]
+        if "kernel_int4" in p:
+            # W4A8 head (ops/int4.py): packing is along K, so output-column
+            # slices stay contiguous in the packed layout
+            from ..ops.int4 import dense_int4
+            if vocab_slice is not None:
+                a, b = vocab_slice
+                p = {"kernel_int4": p["kernel_int4"][:, a:b],
+                     "scale4": p["scale4"][:, a:b], "bias": p["bias"][a:b]}
+            return dense_int4(p, hidden)
+        from ..ops.quantization import dense_int8
         if vocab_slice is not None:
             p = {"kernel_int8": p["kernel_int8"][:, vocab_slice[0]:vocab_slice[1]],
                  "scale": p["scale"][vocab_slice[0]:vocab_slice[1]]}
