@@ -39,13 +39,24 @@ def run_dpg(
 ) -> List[str]:
     os.makedirs(output_dir, exist_ok=True)
     written = []
+
+    # one-deep pipeline: host grid/PNG work for item i overlaps the device's
+    # sampler run for item i+1 (same discipline as geneval.run_geneval)
+    def _flush(item, pixels):
+        grid = make_grid_2x2(pixels_to_uint8(pixels))
+        path = os.path.join(output_dir, f"{item['item_id']}.png")
+        save_png(grid, path)
+        written.append(path)
+
+    pending = None
     for item in shard_for_process(prompts, process_index, process_count):
         key, sub = jax.random.split(key)
         pixels = pipeline.generate_images(
             [item["text"]] * n_samples, sub, guidance_scale=guidance_scale,
             timesteps=timesteps, temperature=temperature, max_text_len=eval_text_len)
-        grid = make_grid_2x2(pixels_to_uint8(pixels))
-        path = os.path.join(output_dir, f"{item['item_id']}.png")
-        save_png(grid, path)
-        written.append(path)
+        if pending is not None:
+            _flush(*pending)
+        pending = (item, pixels)
+    if pending is not None:
+        _flush(*pending)
     return written

@@ -49,17 +49,18 @@ def run_geneval(
     process_index: Optional[int] = None,
     process_count: Optional[int] = None,
 ) -> List[str]:
-    """Returns the list of written sample directories (this process's shard)."""
+    """Returns the list of written sample directories (this process's shard).
+
+    One-deep pipelined: generation of prompt i+1 is dispatched (async) before
+    prompt i's pixels are fetched, so the host-side uint8 convert + PNG writes
+    overlap the device's next sampler run instead of stranding it — the
+    reference evaluates strictly synchronously (inference_geneval.py:229-270).
+    Identical outputs: per-prompt RNG keys are split in the same order."""
     written = []
-    indexed = list(enumerate(metadata))
-    for idx, md in shard_for_process(indexed, process_index, process_count):
-        prompt = md.get("prompt", md.get("text"))
-        key, sub = jax.random.split(key)
-        pixels = pipeline.generate_images(
-            [prompt] * n_samples, sub, guidance_scale=guidance_scale,
-            timesteps=timesteps, temperature=temperature,
-            max_text_len=eval_text_len, mode=mode)
-        imgs = pixels_to_uint8(pixels)
+
+    def _flush(item):
+        idx, md, pixels = item
+        imgs = pixels_to_uint8(pixels)   # host fetch: device already runs i+1
         outpath = os.path.join(output_dir, f"{idx:0>5}")
         sample_dir = os.path.join(outpath, "samples")
         os.makedirs(sample_dir, exist_ok=True)
@@ -68,6 +69,21 @@ def run_geneval(
         for i in range(n_samples):
             save_png(imgs[i], os.path.join(sample_dir, f"{i:05}.png"))
         written.append(outpath)
+
+    pending = None
+    indexed = list(enumerate(metadata))
+    for idx, md in shard_for_process(indexed, process_index, process_count):
+        prompt = md.get("prompt", md.get("text"))
+        key, sub = jax.random.split(key)
+        pixels = pipeline.generate_images(
+            [prompt] * n_samples, sub, guidance_scale=guidance_scale,
+            timesteps=timesteps, temperature=temperature,
+            max_text_len=eval_text_len, mode=mode)
+        if pending is not None:
+            _flush(pending)
+        pending = (idx, md, pixels)
+    if pending is not None:
+        _flush(pending)
     return written
 
 
