@@ -55,6 +55,26 @@ def test_brace_expand():
     assert brace_expand("plain.tar") == ["plain.tar"]
 
 
+def test_pipe_url_streams_tar(tmp_path):
+    """webdataset 'pipe:' URLs stream a subprocess's stdout (the reference's
+    s3 `pipe:aws s3 cp ... -` pattern, data_loader.py:65-94); sample grouping
+    must match the local-path reader."""
+    shard = str(tmp_path / "train-000.tar")
+    _make_tar(shard)
+    local = list(iterate_tar_samples(shard))
+    piped = list(iterate_tar_samples(f"pipe:cat {shard}"))
+    assert [s["__key__"] for s in piped] == [s["__key__"] for s in local]
+    assert piped[0].keys() == local[0].keys()
+    # failing command behaves like an unreadable tar: yields nothing
+    assert list(iterate_tar_samples("pipe:false")) == []
+    # dataset-level: pipe shards force the python reader (the C++ core reads
+    # local files only) and batch identically to the local path
+    ds = Text2ImageDataset([f"pipe:cat {shard}"], per_device_batch_size=3,
+                           resolution=16, num_batches=2, short_caption_ratio=0.0)
+    batches = list(ds)
+    assert len(batches) == 2 and batches[0]["images"].shape == (3, 16, 16, 3)
+
+
 def test_tar_iteration_and_batching(tmp_path):
     shard = str(tmp_path / "train-000.tar")
     _make_tar(shard)

@@ -65,11 +65,31 @@ def brace_expand(pattern: str) -> List[str]:
     return out
 
 
+def _open_shard(path: str):
+    """Local path or webdataset ``pipe:`` URL -> (fileobj, cleanup).
+
+    ``pipe:aws s3 cp s3://bucket/shard.tar -`` streams the command's stdout
+    (reference gopen pipe handling, training/data_loader.py:65-94); everything
+    else opens as a local tar."""
+    if path.startswith("pipe:"):
+        import subprocess
+        proc = subprocess.Popen(path[5:], shell=True, stdout=subprocess.PIPE,
+                                stderr=subprocess.DEVNULL)
+
+        def cleanup():
+            proc.stdout.close()
+            proc.wait()
+
+        return tarfile.open(fileobj=proc.stdout, mode="r|*"), cleanup
+    tf = tarfile.open(path)
+    return tf, tf.close
+
+
 def iterate_tar_samples(path: str) -> Iterator[Dict]:
     """Group tar members by basename key; skip unreadable samples instead of
     raising (reference *_nothrow handlers, data_loader.py:113-146)."""
     try:
-        tf = tarfile.open(path)
+        tf, cleanup = _open_shard(path)
     except (OSError, tarfile.TarError):
         return
     current: Dict = {}
@@ -93,7 +113,7 @@ def iterate_tar_samples(path: str) -> Iterator[Dict]:
         if current_key is not None and current:
             yield current
     finally:
-        tf.close()
+        cleanup()
 
 
 @dataclass
@@ -118,6 +138,10 @@ class Text2ImageDataset:
         if not self._shards:
             raise ValueError("no shards")
         self._rng = random.Random(self.seed)
+        if any(s.startswith("pipe:") for s in self._shards):
+            # the C++ core reads local files only; pipe: URLs (subprocess
+            # streams, e.g. `pipe:aws s3 cp ... -`) take the python reader
+            self.use_native = False
         if self.use_native is None:
             from .native import native_available
             self.use_native = native_available()
