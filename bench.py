@@ -183,13 +183,20 @@ def main(batch_size: int = 6, timesteps: int = 50, warmup: int = 1, iters: int =
         try:
             # compile budgets: cold-cache compiles of the 50-step scan over the
             # relay can take >10 min; the persistent cache makes repeat runs fast
-            codes, _ = phase(f"sampler compile+warmup{label}", 1800,
-                             lambda: sync_codes(sampler(run_params, run_ids,
-                                                        run_uncond,
-                                                        jax.random.key(2))))
+            # keep the warmup codes ON DEVICE at their real [B, 256] shape: the
+            # decoder must warm at the shape the timed loop uses (a host-sliced
+            # warmup compiled a [B, 16] decoder and pushed the real compile
+            # into timed iter 0 — caught by the pipelined protocol)
+            holder = {}
+
+            def _warm_sampler():
+                holder["codes"] = sampler(run_params, run_ids, run_uncond,
+                                          jax.random.key(2))
+                return sync_codes(holder["codes"])
+
+            _, _ = phase(f"sampler compile+warmup{label}", 1800, _warm_sampler)
             _, _ = phase(f"decoder compile+warmup{label}", 900,
-                         lambda: sync_px(decoder(vq_params,
-                                                 jnp.asarray(codes, jnp.int32))))
+                         lambda: sync_px(decoder(vq_params, holder["codes"])))
             # Pipelined steady-state throughput: enqueue every iteration's
             # sampler+decoder up front (async dispatch), then fence them in
             # order. The device runs the programs back-to-back — MAGViT decode

@@ -43,25 +43,54 @@ def load_xspace(trace_dir: str):
     return xs
 
 
+def _exclusive_times(events) -> List[Tuple[int, float]]:
+    """(metadata_id, exclusive_ms) per event — duration minus nested children.
+
+    Events on a TPU core's 'XLA Ops' line NEST (while-loop/fusion envelopes
+    contain their body ops); raw sums double-count. A stack sweep over the
+    sorted intervals yields self time."""
+    evs = sorted(((ev.offset_ps, ev.offset_ps + ev.duration_ps, ev.metadata_id)
+                  for ev in events), key=lambda e: (e[0], -e[1]))
+    out: List[Tuple[int, float]] = []
+    stack: List[list] = []  # [start, end, mid, child_time]
+    for s, e, mid in evs:
+        while stack and s >= stack[-1][1]:
+            top = stack.pop()
+            out.append((top[2], (top[1] - top[0] - top[3]) / 1e9))
+            if stack:
+                stack[-1][3] += top[1] - top[0]
+        stack.append([s, e, mid, 0])
+    while stack:
+        top = stack.pop()
+        out.append((top[2], (top[1] - top[0] - top[3]) / 1e9))
+        if stack:
+            stack[-1][3] += top[1] - top[0]
+    return out
+
+
 def op_table(trace_dir: str, plane_substr: str = "TPU",
              top_n: Optional[int] = None) -> List[dict]:
-    """Aggregate device-plane event durations by op name.
+    """Aggregate device busy time by op name, EXCLUSIVE of nested children.
 
-    Returns rows sorted by total time: {name, total_ms, count, pct}. ``pct``
-    is of the summed busy time across matching planes (XLA ops on a TPU plane
-    never overlap within a core, so the sum is wall device time)."""
+    Uses the TPU core plane's 'XLA Ops' line (leaf compute; async-copy
+    live-ranges and module envelopes excluded), so the total equals wall
+    device busy time. Falls back to all lines with raw durations on CPU-only
+    traces (CI)."""
     xs = load_xspace(trace_dir)
     planes = [p for p in xs.planes if plane_substr.lower() in p.name.lower()]
-    if not planes:  # CPU-only run (CI): fall back to the host XLA launch plane
+    fallback = not planes
+    if fallback:  # CPU-only run (CI): host XLA launch plane
         planes = [p for p in xs.planes if "cpu" in p.name.lower()] or list(xs.planes)
     agg: Dict[str, Tuple[float, int]] = {}
     for plane in planes:
         meta = {mid: m.name for mid, m in plane.event_metadata.items()}
         for line in plane.lines:
-            for ev in line.events:
-                name = meta.get(ev.metadata_id, str(ev.metadata_id))
+            if not fallback and line.name != "XLA Ops":
+                continue
+            for mid, ms in _exclusive_times(line.events):
+                name = meta.get(mid, str(mid))
                 t, c = agg.get(name, (0.0, 0))
-                agg[name] = (t + ev.duration_ps / 1e9, c + 1)  # ps -> ms
+                agg[name] = (t + ms, c + 1)
     total = sum(t for t, _ in agg.values()) or 1.0
     rows = [{"name": k, "total_ms": round(t, 3), "count": c,
              "pct": round(100.0 * t / total, 2)}
