@@ -69,13 +69,16 @@ def pack_int4(w: Array, group: int = 256):
 
 
 def _w4a8_kernel(x_ref, w_ref, s_ref, o_ref, *, groups, half):
-    """One N block: o[B, BN] = sum_g (x8_g . unpack(w4_g)) * scale4[g, :]."""
+    """One (T, N) block: o[BT, BN] = sum_g (x8_g . unpack(w4_g)) * scale4[g, :]."""
     x = x_ref[...]                                       # [B, K] int8
     acc = jnp.zeros(o_ref.shape, jnp.float32)
     for g in range(groups):                              # static unroll
         wp = w_ref[g * half:(g + 1) * half, :]           # [half, BN] packed
-        lo = (wp << 4) >> 4                              # sign-extended low nibble
-        hi = wp >> 4                                     # arithmetic: high nibble
+        # Mosaic legalizes shifts on i32 vectors only (arith.shli/shrsi on i8
+        # fail to legalize — probed on the chip); unpack through int32
+        w32 = wp.astype(jnp.int32)
+        lo = ((w32 << 28) >> 28).astype(jnp.int8)        # sign-extended low nibble
+        hi = (w32 >> 4).astype(jnp.int8)                 # arithmetic: high nibble
         xa = x[:, g * 2 * half:g * 2 * half + half]
         xb = x[:, g * 2 * half + half:(g + 1) * 2 * half]
         part = jax.lax.dot_general(
@@ -102,19 +105,27 @@ def w4a8_matmul(x_int8: Array, packed: Array, scale4: Array, *,
     block_n = min(block_n, npad)
     if npad % block_n:
         raise ValueError(f"N={npad} not a multiple of block_n={block_n}")
-    tpad = -(-t // 32) * 32
+    # tile T too: prefill runs B*L rows (e.g. 19200) — an untiled x block
+    # blows the 128MB VMEM budget (measured OOM at [19200, 8960] int8)
+    block_t = 256
+    tpad = -(-t // 32) * 32 if t <= block_t else -(-t // block_t) * block_t
+    block_t = min(block_t, tpad)
     if tpad != t:
         x_int8 = jnp.pad(x_int8, ((0, tpad - t), (0, 0)))
     out = pl.pallas_call(
         functools.partial(_w4a8_kernel, groups=groups, half=half),
         out_shape=jax.ShapeDtypeStruct((tpad, npad), jnp.float32),
-        grid=(npad // block_n,),
+        grid=(tpad // block_t, npad // block_n),   # N innermost: x block stays
         in_specs=[
-            pl.BlockSpec((tpad, k), lambda i: (0, 0)),          # x: whole
-            pl.BlockSpec((k // 2, block_n), lambda i: (0, i)),  # w: N block
-            pl.BlockSpec((groups, block_n), lambda i: (0, i)),  # scales
+            pl.BlockSpec((block_t, k), lambda i, j: (i, 0)),       # x: T block
+            pl.BlockSpec((k // 2, block_n), lambda i, j: (0, j)),  # w: N block
+            pl.BlockSpec((groups, block_n), lambda i, j: (0, j)),  # scales
         ],
-        out_specs=pl.BlockSpec((tpad, block_n), lambda i: (0, i)),
+        out_specs=pl.BlockSpec((block_t, block_n), lambda i, j: (i, j)),
+        # double-buffered x/w/out blocks + unpack temps exceed the default
+        # 16MB scoped-vmem budget at K=8960 (measured 16.76M); the chip has
+        # 128MB — raise the cap instead of shrinking the MXU tiles
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=48 * 1024 * 1024),
         interpret=interpret,
     )(x_int8, packed, scale4)
     return out[:t] if tpad != t else out
