@@ -455,11 +455,19 @@ def bench_serve(slots: int = 32, n_requests: int = 96, prompt_len: int = 600,
     else:
         cfg = unigen.UniGenConfig.for_qwen25_15b()
     params = jax.jit(lambda k: unigen.init(k, cfg))(jax.random.key(0))
-    if quant in ("int8", "int8+kv") and not tiny:
+    decode_params = None
+    if quant in ("int8", "int8+kv", "int8+int4") and not tiny:
         from unigen_tpu.ops.quantization import quantize_unigen_params
-        params = jax.jit(lambda p: quantize_unigen_params(p, cfg, lm_head=True))(params)
+        qparams = jax.jit(lambda p: quantize_unigen_params(p, cfg, lm_head=True))(params)
         print("[bench] serve backbone+lm_head quantized to int8", file=sys.stderr)
-    quant_kv = quant == "int8+kv" and not tiny
+        if quant == "int8+int4":
+            # mixed precision: int8 admission + W4A8 decode chunks
+            from unigen_tpu.ops.int4 import quantize_unigen_params_int4
+            decode_params = jax.jit(
+                lambda p: quantize_unigen_params_int4(p, cfg))(params)
+            print("[bench] serve decode chunks on int4 W4A8", file=sys.stderr)
+        params = qparams
+    quant_kv = quant in ("int8+kv", "int8+int4") and not tiny
     if tiny:
         quant = None
 
@@ -476,7 +484,8 @@ def bench_serve(slots: int = 32, n_requests: int = 96, prompt_len: int = 600,
         return ServingEngine(params, cfg, slots=slots, max_len=max_len,
                              buckets=(bucket,), chunk=chunk,
                              quantized_cache=quant_kv, seed=seed,
-                             speculate_k=speculate_k)
+                             speculate_k=speculate_k,
+                             decode_params=decode_params)
 
     # warmup/compile: one tiny pass through both programs (admit + decode)
     with _Watchdog(1800):
@@ -1012,7 +1021,9 @@ if __name__ == "__main__":
                    tiny="tiny" in args)
     elif args and args[0] == "serve":
         nums = [a for a in args[1:] if a.isdigit()]
-        q = next((a for a in args if a in ("int8", "int8kv", "int8+kv", "bf16")), "int8+kv")
+        q = next((a for a in args
+                  if a in ("int8", "int8kv", "int8+kv", "int8+int4", "bf16")),
+                 "int8+kv")
         spec = next((int(a[4:]) for a in args if a.startswith("spec")
                      and a[4:].isdigit()), 4 if "spec" in args else 0)
         bench_serve(slots=int(nums[0]) if nums else 32,

@@ -107,3 +107,29 @@ def test_int4_backbone_hidden_cosine_and_decode():
                   vocab_slice=(ucfg.text_vocab_len,
                                ucfg.text_vocab_len + ucfg.codebook_size))
     assert sl.shape[-1] == ucfg.codebook_size
+
+
+def test_engine_mixed_precision_decode_params():
+    """Serving engine with int8 admission + int4 decode (the production shape:
+    prefill hates int4's unpack overhead, decode loves the halved weight
+    read). Decode must be deterministic per seed and in-vocab."""
+    from unigen_tpu.models import unigen as U
+    from unigen_tpu.ops.int4 import quantize_unigen_params_int4
+    from unigen_tpu.ops.quantization import quantize_unigen_params
+    from unigen_tpu.serving import ServingEngine
+    cfg = U.UniGenConfig.tiny()
+    params = U.init(jax.random.key(0), cfg)
+    p8 = quantize_unigen_params(params, cfg, lm_head=True)
+    p4 = quantize_unigen_params_int4(params, cfg, group=16)
+    outs = []
+    for _ in range(2):
+        with ServingEngine(p8, cfg, slots=2, max_len=48, buckets=(16,),
+                           chunk=4, decode_params=p4) as eng:
+            f1 = eng.submit(list(range(3, 13)), max_new_tokens=6)
+            f2 = eng.submit(list(range(5, 17)), max_new_tokens=5,
+                            temperature=0.8, seed=11)
+            outs.append((f1.result(300), f2.result(300)))
+    (a1, b1), (a2, b2) = outs
+    assert a1 == a2 and b1 == b2          # schedule-independent determinism
+    assert len(a1) == 6 and len(b1) == 5
+    assert all(0 <= t < cfg.vocab_size for t in a1 + b1)

@@ -459,10 +459,17 @@ class ServingEngine:
                  chunk: int = 8, top_k: Optional[int] = None,
                  quantized_cache: bool = False, pad_id: int = 0, seed: int = 0,
                  speculate_k: int = 0,
-                 prefix_ids: Optional[Sequence[int]] = None):
+                 prefix_ids: Optional[Sequence[int]] = None,
+                 decode_params=None):
         if max(buckets) > max_len:
             raise ValueError(f"bucket {max(buckets)} exceeds max_len {max_len}")
         self.params = params
+        # mixed-precision serving: admission (prefill — large-T matmuls where
+        # int4's unpack overhead LOSES) runs on ``params``; the HBM-bound
+        # decode chunks run on ``decode_params`` when given (e.g. the W4A8
+        # tree from ops/int4.py — measured 3.69 vs 4.44 ms/step at batch 32).
+        # Both trees coexist in HBM (~1.75GB int8 + ~0.9GB int4 at 1.5B).
+        self.decode_params = params if decode_params is None else decode_params
         self.cfg = cfg
         self.slots = slots
         self.max_len = max_len
@@ -714,14 +721,14 @@ class ServingEngine:
         if self.speculate_k > 0:
             (self._cache, self._last_tok, self._ctx, toks,
              counts) = _spec_decode_chunk(
-                self.params, self._cache, self._last_tok, self._ctx,
+                self.decode_params, self._cache, self._last_tok, self._ctx,
                 jnp.asarray(self._ctx_start), jnp.asarray(self._active),
                 jnp.asarray(self._temp), rseed, cfg=self.cfg, steps=self.chunk,
                 k=self.speculate_k, top_k=self.top_k)
             toks, counts = np.asarray(toks), np.asarray(counts)
         else:
             self._cache, self._last_tok, toks = _decode_chunk(
-                self.params, self._cache, self._last_tok,
+                self.decode_params, self._cache, self._last_tok,
                 jnp.asarray(self._active), jnp.asarray(self._temp), rseed,
                 cfg=self.cfg, steps=self.chunk, top_k=self.top_k)
             toks = np.asarray(toks)[:, :, None]  # [B, chunk, 1]
