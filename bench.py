@@ -342,7 +342,7 @@ def bench_vqa(batch_size: int = 8, prompt_len: int = 600, max_new_tokens: int = 
 
 def bench_lmms(batch_sizes=(8, 16, 32), n_requests: int = 64,
                max_new_tokens: int = 64, quant: str = "int8", slots: int = 16,
-               tiny: bool = False):
+               tiny: bool = False, serving: bool = True):
     """lmms-eval adapter END-TO-END throughput: PIL images -> siglip_preprocess
     -> SigLIP tower -> MM projector -> prompt splice -> continuous-batching
     prefix-LM decode -> detokenize (the full generate_until protocol the
@@ -389,7 +389,7 @@ def bench_lmms(batch_sizes=(8, 16, 32), n_requests: int = 64,
     results = []
     for bs in batch_sizes:
         adapter = UniGenLmmsAdapter(
-            pipe, serving=True, batch_size=bs, max_new_tokens=max_new_tokens,
+            pipe, serving=serving, batch_size=bs, max_new_tokens=max_new_tokens,
             serving_slots=slots, serving_chunk=8,
             serving_quantized_cache=(quant == "int8" and not tiny))
         with _Watchdog(2400):
@@ -403,20 +403,22 @@ def bench_lmms(batch_sizes=(8, 16, 32), n_requests: int = 64,
             outs = adapter.generate_until(reqs)
             dt = time.perf_counter() - t0
         assert len(outs) == n_requests and all(o is not None for o in outs)
-        toks = sum(s.tokens_generated for s in adapter.last_stats)
+        toks = (sum(s.tokens_generated for s in adapter.last_stats)
+                if serving else n_requests * max_new_tokens)
         tps = toks / dt
         results.append((bs, tps, n_requests / dt))
         print(f"[bench] lmms bs={bs}: {dt:.2f}s, {toks} tokens, "
               f"{tps:.0f} tok/s, {n_requests / dt:.1f} req/s", file=sys.stderr)
     best = max(results, key=lambda r: r[1])
+    mode = "serving" if serving else "static"
     print(json.dumps({
-        "metric": f"lmms end-to-end tokens/sec/chip (vision+prefill+decode) "
-                  f"[{quant}]",
+        "metric": f"lmms end-to-end tokens/sec/chip (vision+prefill+decode, "
+                  f"{mode}) [{quant}]",
         "value": round(best[1], 1), "unit": "tokens/sec/chip",
         "vs_baseline": None, "synced": True,
-        "config": {"quant": quant, "n_requests": n_requests, "slots": slots,
-                   "max_new_tokens": max_new_tokens, "image_size": size,
-                   "best_batch": best[0]},
+        "config": {"quant": quant, "mode": mode, "n_requests": n_requests,
+                   "slots": slots, "max_new_tokens": max_new_tokens,
+                   "image_size": size, "best_batch": best[0]},
         "sweep": [{"batch": b, "tok_s": round(t, 1), "req_s": round(r, 2)}
                   for b, t, r in results]}))
 
@@ -1018,7 +1020,7 @@ if __name__ == "__main__":
         nums = [int(a) for a in args[1:] if a.isdigit()]
         bench_lmms(batch_sizes=tuple(nums) or (8, 16, 32),
                    quant="bf16" if "bf16" in args else "int8",
-                   tiny="tiny" in args)
+                   tiny="tiny" in args, serving="static" not in args)
     elif args and args[0] == "serve":
         nums = [a for a in args[1:] if a.isdigit()]
         q = next((a for a in args
