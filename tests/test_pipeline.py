@@ -453,3 +453,28 @@ def test_run_cot_sharded_matches_single_process(pipe):
     by_idx = {r["index"]: r for r in res_a + res_b}
     for r in res1:
         np.testing.assert_array_equal(r["selected"], by_idx[r["index"]]["selected"])
+
+
+def test_uint8_pixels_bit_equal_fp32_path(pipe):
+    """uint8 pixels normalized on device (_vision_forward integer branch) must
+    match the host fp32 siglip_preprocess path: the normalization itself is
+    the identical fp32 op sequence (/255, -0.5, /0.5 — asserted bit-equal
+    below), and tower features agree to fp32 ulp noise (XLA may contract the
+    in-graph normalize into the conv fusion as FMAs). The uint8 path exists
+    only to shrink the host->device transfer 4x (the measured generate_until
+    bottleneck over the relay link)."""
+    from PIL import Image
+    from unigen_tpu.data.transform import siglip_preprocess
+    rng = np.random.default_rng(7)
+    raw = rng.integers(0, 256, (2, 40, 30, 3), np.uint8)
+    ims = [Image.fromarray(a) for a in raw]
+    size = pipe.vision_cfg.image_size
+    u8 = np.stack([siglip_preprocess(im, size, as_uint8=True) for im in ims])
+    f32 = np.stack([siglip_preprocess(im, size) for im in ims])
+    assert u8.dtype == np.uint8 and f32.dtype == np.float32
+    # the uint8 output IS the pre-normalization pixels
+    np.testing.assert_array_equal(
+        (u8.astype(np.float32) / 255.0 - 0.5) / 0.5, f32)
+    e_u8 = np.asarray(pipe._image_embeds(u8))
+    e_f32 = np.asarray(pipe._image_embeds(f32))
+    np.testing.assert_allclose(e_u8, e_f32, rtol=5e-6, atol=5e-6)

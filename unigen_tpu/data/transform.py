@@ -108,12 +108,19 @@ def naflex_preprocess(image, patch_size: int = 16, max_num_patches: int = 256):
             "spatial_shapes": np.asarray([hp, wp], np.int32)}
 
 
-def siglip_preprocess(image, image_size: int = 384) -> np.ndarray:
+def siglip_preprocess(image, image_size: int = 384,
+                      as_uint8: bool = False) -> np.ndarray:
     """SigLIP processor: resize to (size, size) bicubic, rescale 1/255,
     normalize mean=std=0.5 (reference: siglip_encoder.py:37-74).
-    Returns [H, W, 3] float32.
+    Returns [H, W, 3] float32 — or, with ``as_uint8``, the resized uint8
+    pixels BEFORE normalization: the pipeline's vision forward normalizes
+    integer inputs on device with the identical fp32 op sequence, so the
+    two paths are bit-equal while the uint8 one ships 4x fewer bytes
+    across the host->device link.
     """
     from PIL import Image
     img = _to_pil(image).convert("RGB").resize((image_size, image_size), Image.BICUBIC)
+    if as_uint8:
+        return np.asarray(img, np.uint8)
     x = np.asarray(img, np.float32) / 255.0
     return (x - 0.5) / 0.5

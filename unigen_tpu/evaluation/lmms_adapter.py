@@ -74,7 +74,10 @@ class UniGenLmmsAdapter:
             # the pipeline patchifies per request (no fixed image_size exists)
             from ..data.transform import naflex_resize
             return naflex_resize(images, vcfg.patch_size, vcfg.num_patches)
-        return siglip_preprocess(images, vcfg.image_size)
+        # uint8: the pipeline normalizes integer pixels on device with the
+        # same fp32 ops (bit-equal), and the batch transfer is 4x smaller —
+        # the host->device link is the measured bottleneck of generate_until
+        return siglip_preprocess(images, vcfg.image_size, as_uint8=True)
 
     def _raw_dims(self, images) -> Tuple[int, int]:
         """(width, height) the request presents to the preprocessor — from PIL
@@ -158,6 +161,21 @@ class UniGenLmmsAdapter:
             groups.setdefault(self._gen_key(gen_kwargs)
                               + (self._prepared_shape(images),), []).append(i)
 
+        def flush(pending):
+            chunk, toks = pending
+            texts = self.pipeline.decode_text(toks)[:len(chunk)]
+            for i, text in zip(chunk, texts):
+                for stop in requests[i][1].get("until", []) or []:
+                    if stop and stop in text:
+                        text = text.split(stop)[0]
+                out[i] = text
+
+        # one-deep pipeline: chunk i+1's host work (image resize, tokenize) and
+        # its pixel transfer + dispatch happen BEFORE chunk i's tokens are
+        # fetched, so they overlap chunk i's device decode — decode_text's
+        # np.asarray is the only sync point. Outputs unchanged (pure
+        # reordering; the per-chunk RNG split order is preserved).
+        pending = None
         for (max_new, temperature, top_k, _shape), idxs in groups.items():
             for start in range(0, len(idxs), self.batch_size):
                 chunk = idxs[start:start + self.batch_size]
@@ -180,12 +198,11 @@ class UniGenLmmsAdapter:
                     max_new_tokens=max_new,
                     temperature=temperature,
                     top_k=top_k)
-                texts = self.pipeline.decode_text(toks)[:len(chunk)]
-                for i, text in zip(chunk, texts):
-                    for stop in requests[i][1].get("until", []) or []:
-                        if stop and stop in text:
-                            text = text.split(stop)[0]
-                    out[i] = text
+                if pending is not None:
+                    flush(pending)
+                pending = (chunk, toks)
+        if pending is not None:
+            flush(pending)
         return out
 
     def _generate_until_serving(self, requests) -> List[str]:

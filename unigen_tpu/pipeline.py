@@ -157,6 +157,13 @@ def _mmu_vit_inputs(params, part1, part2, img_embeds, prompt_len, *, sys_len):
 
 @partial(jax.jit, static_argnames=("vision_cfg",))
 def _vision_forward(vision_params, vision_cfg, pixels):
+    if jnp.issubdtype(pixels.dtype, jnp.integer):
+        # uint8 pixels normalized ON DEVICE with the same fp32 op sequence as
+        # siglip_preprocess (/255, -0.5, /0.5) — bit-identical to the host
+        # float path, but the host->device transfer ships 1 byte/pixel instead
+        # of 4 (the relay link moves ~40MB/s: a [16,384,384,3] fp32 batch costs
+        # ~700ms of wall time per understand() call, uint8 ~300ms — measured).
+        pixels = (pixels.astype(jnp.float32) / 255.0 - 0.5) / 0.5
     return siglip.forward(vision_params, vision_cfg, pixels)
 
 
