@@ -610,7 +610,16 @@ def bench_profile(stage: str = "sampler", trace_root: str = "/tmp/unigen_traces"
         with _Watchdog(2400):
             wall = _measure(lambda: step(params, ids, jax.random.key(1)),
                             lambda x: np.asarray(x[:, ::16]))
-        flops = _flops_of(step, params, ids, jax.random.key(1))
+        # analytic FLOPs (cost_analysis counts the 50-step while body once):
+        # prefix-KV prefill (2B x text prefix) + T steps of 2B x 258-token
+        # chunk forwards against the 393-token cache + the CFG-combined image
+        # head on B rows (BENCH.md hand count: ~8.2 TFLOP/step at batch 6)
+        T = 3 if tiny else 50
+        chunk, seq = n + 2, text_len + n + 2
+        llm = cfg.llm
+        flops = (2 * b * (seq - chunk) * _backbone_flops_per_token(llm, (seq - chunk) / 2)
+                 + T * (2 * b * chunk * _backbone_flops_per_token(llm, seq)
+                        + b * chunk * 2 * llm.hidden_size * cfg.codebook_size))
         unit_note = f"{b} images / {wall:.3f}s = {b / wall:.2f} img/s"
     elif stage == "vqa":
         from unigen_tpu.generation import mmu_generate
@@ -639,7 +648,13 @@ def bench_profile(stage: str = "sampler", trace_root: str = "/tmp/unigen_traces"
         with _Watchdog(2400):
             wall = _measure(lambda: step(params, ids, jax.random.key(1)),
                             lambda x: np.asarray(x[:, ::16]))
-        flops = _flops_of(step, params, ids, jax.random.key(1))
+        # analytic FLOPs: causal prefill over plen + mnew cached decode steps
+        # with the full-vocab lm_head on each new token (the 128-step decode
+        # while loop and 28-layer scan are invisible to cost_analysis)
+        llm = cfg.llm
+        flops = (b * plen * _backbone_flops_per_token(llm, plen / 2)
+                 + b * mnew * (_backbone_flops_per_token(llm, plen + mnew / 2)
+                               + 2 * llm.hidden_size * cfg.vocab_size))
         unit_note = (f"{b * mnew} tokens / {wall:.3f}s = {b * mnew / wall:.0f} "
                      f"tok/s (incl. prefill)")
     elif stage == "tokenizer":
@@ -685,19 +700,57 @@ def bench_profile(stage: str = "sampler", trace_root: str = "/tmp/unigen_traces"
         "vs_baseline": None, "synced": True,
         "note": unit_note, "device_busy_ms": round(busy, 1),
         "flops_per_step": flops,
+        "flops_method": "xla_cost_analysis" if stage == "tokenizer" else "analytic",
         **({"mfu_bf16_base": round(mfu_bf16, 4),
             "mfu_int8_base": round(mfu_int8, 4)} if flops else {}),
-        "top_ops": rows[:8], "trace_dir": tdir}))
+        # full HLO op strings run to kilobytes; keep the JSON line readable
+        "top_ops": [{**r, "name": r["name"][:120]} for r in rows[:8]],
+        "trace_dir": tdir}))
 
 
 def _flops_of(jitted, *args):
-    """XLA cost-analysis FLOPs of a compiled function (None if unavailable)."""
+    """XLA cost-analysis FLOPs of a compiled function (None if unavailable).
+
+    CAUTION: XLA's cost model counts a while/scan BODY ONCE, not x trip
+    count — the layer-scanned backbone undercounts 28x and the 50-step
+    sampler / 128-step decode loops undercount further. Only trustworthy for
+    loop-free programs (the MAGViT conv stacks); everywhere the backbone runs,
+    MFU must use the closed forms below (`_backbone_flops_per_token`)."""
     try:
         ca = jitted.lower(*args).compile().cost_analysis()
         return float(ca.get("flops", 0.0)) or None
     except Exception as e:
         print(f"[bench] cost analysis unavailable: {e}", file=sys.stderr)
         return None
+
+
+def _transformer_flops_per_token(h: int, q_dim: int, kv_dim: int, inter: int,
+                                 layers: int, kv_len: float,
+                                 mlp_mats: int = 3) -> float:
+    """Analytic forward FLOPs/token for one transformer stack (2*MACs).
+
+    dense = qkv projections + output projection + MLP matmuls;
+    attn  = QK^T + AV against ``kv_len`` cached/visible positions.
+    For causal self-attention over a length-L block pass kv_len = L/2
+    (the triangular average); for cached decode pass the cache length."""
+    dense = 2 * h * (q_dim + 2 * kv_dim) + 2 * q_dim * h + mlp_mats * 2 * h * inter
+    attn = 4 * kv_len * q_dim
+    return float(layers) * (dense + attn)
+
+
+def _backbone_flops_per_token(llm, kv_len: float) -> float:
+    """Qwen2 backbone forward FLOPs/token (matches BENCH.md's hand count:
+    ~2.62 GFLOP/token for the 1.5B at short kv_len)."""
+    return _transformer_flops_per_token(
+        llm.hidden_size, llm.num_attention_heads * llm.head_dim,
+        llm.num_key_value_heads * llm.head_dim, llm.intermediate_size,
+        llm.num_hidden_layers, kv_len, mlp_mats=3)
+
+
+# XLA cost-analysis FLOPs of the flagship MAGViTv2 at 256px (loop-free conv
+# stacks, so the cost model is exact here — BENCH.md tokenizer roofline)
+_MAGVIT_ENC_FLOPS_PER_IMG = 351.6e9
+_MAGVIT_DEC_FLOPS_PER_IMG = 298.5e9
 
 
 def bench_tokenizer(batch_size: int = 16):
@@ -865,6 +918,15 @@ def bench_train(mode: str = "pt2", steps: int = 20, tiny: bool = False,
                      rng.normal(size=(bm, res, res, 3)).astype(np.float32))}
         run = lambda state, k: step(state, vq_params, batch, k)
         samples = bt + bl + bm
+        # analytic step FLOPs (the layer scan + loop bodies are invisible to
+        # XLA cost analysis): trainable backbone fwd+bwd = 3x forward, full
+        # 160k-vocab chunked CE over the labeled positions, frozen MAGViT
+        # encode of the t2i/mmu pixels = 1x forward
+        ce_pos = bt * n + bl * (L - 4) + bm * (L - 4 - n)
+        step_flops = (3 * ((bt + bl + bm) * L
+                           * _backbone_flops_per_token(cfg.llm, L / 2)
+                           + 2 * cfg.llm.hidden_size * cfg.vocab_size * ce_pos)
+                      + (bt + bm) * _MAGVIT_ENC_FLOPS_PER_IMG)
     elif mode == "sft":
         bt, bl, bm = scaled(3), scaled(1), scaled(4)
         vs_params = jax.jit(lambda k: siglip.init(k, vs_cfg))(jax.random.key(2))
@@ -906,6 +968,22 @@ def bench_train(mode: str = "pt2", steps: int = 20, tiny: bool = False,
                  "mmu_prompt_len": jnp.full((bm,), lm_sft)}
         run = lambda state, k: step(state, vq_params, vs_params, batch, k)
         samples = bt + bl + bm
+        # packed common-length rows: 387-token t2i/lm segments share 1344-token
+        # rows (BENCH.md training #3); backbone 3x, frozen SigLIP tower and
+        # MAGViT encode 1x, full-vocab CE over labeled positions
+        seg_per_row = max(1, lm_sft // L)
+        packed_rows = -(-(bt + bl) // seg_per_row)
+        ce_pos = bt * n + bl * (L - 4) + bm * (part2_len - 1)
+        tower_tok = bm * p_tokens
+        tower_flops = tower_tok * (_transformer_flops_per_token(
+            vs_cfg.hidden_size, vs_cfg.hidden_size, vs_cfg.hidden_size,
+            vs_cfg.intermediate_size, vs_cfg.num_layers_used, p_tokens,
+            mlp_mats=2)
+            + 2 * 3 * vs_cfg.patch_size ** 2 * vs_cfg.hidden_size)
+        step_flops = (3 * ((packed_rows + bm) * lm_sft
+                           * _backbone_flops_per_token(cfg.llm, lm_sft / 2)
+                           + 2 * cfg.llm.hidden_size * cfg.vocab_size * ce_pos)
+                      + tower_flops + bt * _MAGVIT_ENC_FLOPS_PER_IMG)
     elif mode == "dpo":
         from unigen_tpu.training.dpo import make_ref_logps_fn
 
@@ -946,6 +1024,14 @@ def bench_train(mode: str = "pt2", steps: int = 20, tiny: bool = False,
                 calls["i"] += 1
                 return step(state, None, vq_params, {**batch, **r}, k)
         samples = b  # preference pairs per step
+        # policy forwards the concatenated [2b, L] chosen|rejected batch (3x);
+        # frozen MAGViT encodes both pixel sets; chunked full-vocab logps over
+        # the n labeled VQ positions per row; online mode adds the frozen
+        # reference forward (1x)
+        fwd = (2 * b * L * _backbone_flops_per_token(cfg.llm, L / 2)
+               + 2 * cfg.llm.hidden_size * cfg.vocab_size * 2 * b * n)
+        step_flops = ((3 + (1 if online_ref else 0)) * fwd
+                      + 2 * b * _MAGVIT_ENC_FLOPS_PER_IMG)
     else:
         raise SystemExit(f"unknown train mode {mode!r} (pt2|sft|dpo)")
 
@@ -994,11 +1080,16 @@ def bench_train(mode: str = "pt2", steps: int = 20, tiny: bool = False,
         else:
             raise
     unit = "pairs/sec/device" if mode == "dpo" else "samples/sec/device"
+    sec_per_step = samples / value if value else None
+    mfu = (step_flops / sec_per_step / 197e12
+           if sec_per_step and not tiny else None)
     print(json.dumps({
         "metric": f"training step throughput [{mode}]"
                   + (" [tiny]" if tiny else ""),
         "value": round(value, 2), "unit": unit, "vs_baseline": None,
         "synced": synced, "oom": oom,
+        **({"flops_per_step": step_flops, "flops_method": "analytic",
+            "mfu_bf16": round(mfu, 4)} if mfu else {}),
         "config": {"mode": mode, "samples_per_step": samples, "steps": steps,
                    "batch_scale": batch_scale, "seq": int(L),
                    "remat": True, "dtype": "bf16" if not tiny else "fp32",
