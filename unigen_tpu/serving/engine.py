@@ -606,10 +606,11 @@ class ServingEngine:
         if max_new < 1:
             raise ValueError(f"max_new_tokens must be >= 1, got {max_new}")
         # speculation writes up to k draft positions past the final accepted
-        # token — the headroom keeps every BUDGETED write unclamped. In the
-        # trailing chunk after a row's budget is exhausted (the host frees the
-        # slot only at harvest) further junk writes may clamp at max_len-1;
-        # those positions are provably never read: the decode mask reads
+        # token — the headroom keeps every BUDGETED write unclamped. After a
+        # row's budget is exhausted, junk writes may clamp at max_len-1: the
+        # trailing part of its final chunk, plus (since the one-deep pipeline)
+        # one full extra chunk dispatched before the freeing harvest ran.
+        # Those positions are provably never read: the decode mask reads
         # strictly below the row's index, and the next admission re-prefills
         # the row before the index can reach them.
         if bucket_len + max_new + self.speculate_k > self.max_len:
@@ -633,14 +634,32 @@ class ServingEngine:
     # -- scheduler loop -------------------------------------------------------
 
     def _loop(self) -> None:
+        # One-deep decode pipeline: chunk i+1 is DISPATCHED (async) before
+        # chunk i's tokens are fetched, so the per-chunk host round trip
+        # (~30ms over the TPU relay, the dominant serving cost at small
+        # chunks) overlaps device execution instead of serializing with it.
+        # Outputs are token-identical to the synchronous schedule: sampled
+        # streams are position-indexed per request (schedule-independent RNG,
+        # docs/SERVING.md), a slot freed at harvest i keeps decoding junk for
+        # one extra chunk (discarded — the harvest snapshot-guard below), and
+        # admission still lands before the NEXT dispatch, so a request's
+        # first chunk is never delayed when a slot was already free.
+        inflight = None  # (slot_req snapshot at dispatch, toks, counts) or None
         try:
             while True:
-                self._drain_queue(block=not self._active.any() and not self._pending)
-                if self._closing and not self._pending and not self._active.any():
+                idle = (inflight is None and not self._active.any()
+                        and not self._pending)
+                if idle and self._closing:
+                    return
+                self._drain_queue(block=idle)
+                if (inflight is None and self._closing and not self._pending
+                        and not self._active.any()):
                     return
                 self._admit_pending()
-                if self._active.any():
-                    self._decode_and_harvest()
+                nxt = self._dispatch_chunk() if self._active.any() else None
+                if inflight is not None:
+                    self._harvest(*inflight)
+                inflight = nxt
         except BaseException as e:  # resolve all futures so callers unblock
             self._closing = True     # reject new submissions: no thread serves them
             undrained = []
@@ -716,7 +735,12 @@ class ServingEngine:
             self._active[slot] = True
             self._temp[slot] = req.temperature
 
-    def _decode_and_harvest(self) -> None:
+    def _dispatch_chunk(self):
+        """Async-dispatch one decode chunk; returns (slot_req snapshot,
+        device toks, host-or-device counts) for a later ``_harvest``. The
+        cache/last_tok handles advance immediately (futures), so admissions
+        and the next chunk queue behind this one on device with no host
+        sync."""
         rseed = jnp.asarray(self._row_seed)
         if self.speculate_k > 0:
             (self._cache, self._last_tok, self._ctx, toks,
@@ -725,21 +749,34 @@ class ServingEngine:
                 jnp.asarray(self._ctx_start), jnp.asarray(self._active),
                 jnp.asarray(self._temp), rseed, cfg=self.cfg, steps=self.chunk,
                 k=self.speculate_k, top_k=self.top_k)
-            toks, counts = np.asarray(toks), np.asarray(counts)
         else:
             self._cache, self._last_tok, toks = _decode_chunk(
                 self.decode_params, self._cache, self._last_tok,
                 jnp.asarray(self._active), jnp.asarray(self._temp), rseed,
                 cfg=self.cfg, steps=self.chunk, top_k=self.top_k)
-            toks = np.asarray(toks)[:, :, None]  # [B, chunk, 1]
-            counts = np.ones(toks.shape[:2], np.int32)
-        # one fetch per chunk either way (toks [B, steps, k+1] + counts)
+            counts = None
         self.stats.decode_chunks += 1
         self.stats.slot_steps += self.slots * self.chunk
         self.stats.busy_steps += int(self._active.sum()) * self.chunk
+        return list(self._slot_req), toks, counts
+
+    def _harvest(self, snapshot, toks, counts) -> None:
+        # one fetch per chunk either way (toks [B, steps, k+1] + counts) —
+        # the only host sync on the decode path
+        if counts is not None:
+            toks, counts = np.asarray(toks), np.asarray(counts)
+        else:
+            toks = np.asarray(toks)[:, :, None]  # [B, chunk, 1]
+            counts = np.ones(toks.shape[:2], np.int32)
         for slot in range(self.slots):
-            req = self._slot_req[slot]
-            if req is None:
+            req = snapshot[slot]
+            # snapshot-guard: attribute tokens only to the request that
+            # occupied the slot AT DISPATCH — a slot freed (finish/cancel) by
+            # the previous harvest decodes one junk chunk before the stale
+            # active mask catches up, and a newly admitted request's first
+            # tokens arrive in the NEXT chunk (its admit program queued after
+            # this one on device)
+            if req is None or req is not self._slot_req[slot]:
                 continue
             if req.future._cancelled:  # free the slot, fail the future
                 req.future._fail(CancelledError(f"request {req.rid} cancelled"))
