@@ -178,8 +178,35 @@ def main(batch_size: int = 6, timesteps: int = 50, warmup: int = 1, iters: int =
         print(f"[bench] {name}: {dt:.1f}s", file=sys.stderr)
         return out, dt
 
+    # BENCH_FUSED=1: sampler+MAGViT-decode as ONE jitted program — one relay
+    # dispatch per iteration instead of two (the per-ms iteration accounting
+    # in BENCH.md attributes ~59 ms/iter to inter-program scheduling gaps)
+    fused = jax.jit(lambda p, i, u, k: decode(vq_params, sample_codes(p, i, u, k))) \
+        if os.environ.get("BENCH_FUSED") else None
+
     def timed_run(run_params, run_ids, run_uncond, run_batch, label=""):
         run_times, run_synced = [], True
+        if fused is not None:
+            try:
+                _, _ = phase(f"fused compile+warmup{label}", 1800,
+                             lambda: sync_px(fused(run_params, run_ids,
+                                                   run_uncond, jax.random.key(2))))
+                with _Watchdog(300 * iters):
+                    t0 = time.perf_counter()
+                    pxs = [fused(run_params, run_ids, run_uncond,
+                                 jax.random.key(3 + i)) for i in range(iters)]
+                    for i, px in enumerate(pxs):
+                        sync_px(px)
+                        run_times.append(time.perf_counter() - t0)
+                        print(f"[bench] iter {i}{label}: +"
+                              f"{run_times[-1] - (run_times[-2] if i else 0.0):.2f}s",
+                              file=sys.stderr)
+            except TimeoutError:
+                run_synced = False
+            if not run_times:
+                return 0.0, run_synced
+            return (run_batch * len(run_times) / run_times[-1]
+                    / jax.device_count()), run_synced
         try:
             # compile budgets: cold-cache compiles of the 50-step scan over the
             # relay can take >10 min; the persistent cache makes repeat runs fast
