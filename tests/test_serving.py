@@ -141,6 +141,25 @@ def test_engine_staggered_admission(model):
         assert g == _reference_greedy(cfg, params, p, n)
 
 
+def test_engine_chunk_boundary_finish_and_readmission(model):
+    """Pipelined-scheduler edge: budgets exactly at chunk boundaries, with a
+    deep backlog forcing every slot to be freed and re-admitted while the
+    NEXT chunk is already in flight (the dispatch-time snapshot must discard
+    the freed slot's junk chunk and never attribute it to the re-admitted
+    request)."""
+    cfg, params = model
+    chunk = 3
+    budgets = [chunk, 2 * chunk, chunk, chunk, 2 * chunk, chunk]  # all on-boundary
+    prompts = _prompts(cfg, [5, 7, 9, 4, 6, 8], seed=13)
+    with ServingEngine(params, cfg, slots=2, max_len=64, buckets=(16,),
+                       chunk=chunk) as eng:
+        futs = [eng.submit(p, max_new_tokens=m)
+                for p, m in zip(prompts, budgets)]
+        got = [f.result(timeout=180) for f in futs]
+    for p, g, m in zip(prompts, got, budgets):
+        assert g == _reference_greedy(cfg, params, p, m)
+
+
 def test_engine_eot_stops_and_frees_slot(model):
     """A request whose greedy decode hits eot stops there; the freed slot serves
     the queue. eot ground truth comes from the batch decoder."""
