@@ -141,6 +141,23 @@ def test_engine_staggered_admission(model):
         assert g == _reference_greedy(cfg, params, p, n)
 
 
+def test_engine_batched_admission_exact(model):
+    """Round-4 batched admission: a same-bucket wave fills a whole group in
+    one prefill dispatch; mixed buckets break groups at signature boundaries;
+    non-power-of-two remainders exercise the padded (dropped) scatter rows.
+    All outputs must equal the single-request reference."""
+    cfg, params = model
+    # lens 3..8 share bucket 16 -> groups up to the cap; lens 20.. share 32
+    lens = [3, 5, 7, 4, 6, 20, 22, 8, 21]
+    prompts = _prompts(cfg, lens, seed=17)
+    with ServingEngine(params, cfg, slots=8, max_len=64, buckets=(16, 32),
+                       chunk=4) as eng:
+        futs = [eng.submit(p, max_new_tokens=6) for p in prompts]
+        got = [f.result(timeout=180) for f in futs]
+    for p, g in zip(prompts, got):
+        assert g == _reference_greedy(cfg, params, p, 6)
+
+
 def test_engine_chunk_boundary_finish_and_readmission(model):
     """Pipelined-scheduler edge: budgets exactly at chunk boundaries, with a
     deep backlog forcing every slot to be freed and re-admitted while the

@@ -122,32 +122,38 @@ def _decode_chunk(params, cache: qwen2.KVCache, last_tok: Array, active: Array,
     return cache, last_tok, jnp.moveaxis(toks, 0, 1)
 
 
-def _admit_core(params, cfg: UniGenConfig, cache: qwen2.KVCache, last_tok, slot,
-                inputs_embeds, attn_mask, prompt_len, temp, row_seed, top_k):
-    """Prefill one request and install it into slot row `slot`."""
-    l = inputs_embeds.shape[1]
-    tmp = qwen2.init_kv_cache(cfg.llm, 1, l, quantize=cache.quantized)
+def _admit_core(params, cfg: UniGenConfig, cache: qwen2.KVCache, last_tok,
+                slots_idx, inputs_embeds, attn_mask, prompt_len, temp,
+                row_seed, top_k):
+    """Prefill K requests in ONE batched forward and install each into its
+    slot row. ``slots_idx`` [K] int32; group-padding rows carry slot index
+    == num_slots (out of bounds) and are dropped by the scatter installs
+    (``mode="drop"``), so a power-of-two group of mostly-duplicate rows
+    costs one program and touches only the real slots."""
+    k_req, l = inputs_embeds.shape[:2]
+    tmp = qwen2.init_kv_cache(cfg.llm, k_req, l, quantize=cache.quantized)
     positions = jnp.minimum(jnp.arange(l)[None, :], prompt_len[:, None] - 1)
     hidden, tmp = qwen2.forward(params["llm"], cfg.llm, inputs_embeds=inputs_embeds,
                                 mask=attn_mask, positions=positions, cache=tmp)
     last_hidden = jnp.take_along_axis(
         hidden, jnp.broadcast_to((prompt_len - 1)[:, None, None],
-                                 (1, 1, hidden.shape[-1])), axis=1)[:, 0]
+                                 (k_req, 1, hidden.shape[-1])), axis=1)[:, 0]
     lg = qwen2.logits(params["llm"], cfg.llm, last_hidden).astype(jnp.float32)
     first = _sample_rows(_row_keys(row_seed, prompt_len), lg, temp, top_k)
 
     def install(big, block):
-        start = (0, slot) + (0,) * (big.ndim - 2)
-        return jax.lax.dynamic_update_slice(big, block.astype(big.dtype), start)
+        # scatter the K request rows into their slots (first l positions)
+        return big.at[:, slots_idx, :l].set(block.astype(big.dtype),
+                                            mode="drop")
 
     leaves = dict(k=install(cache.k, tmp.k), v=install(cache.v, tmp.v))
     if cache.quantized:
         leaves.update(k_scale=install(cache.k_scale, tmp.k_scale),
                       v_scale=install(cache.v_scale, tmp.v_scale))
-    index = jax.lax.dynamic_update_slice(
-        cache.index, prompt_len.astype(cache.index.dtype), (slot,))
+    index = cache.index.at[slots_idx].set(
+        prompt_len.astype(cache.index.dtype), mode="drop")
     cache = qwen2.KVCache(index=index, **leaves)
-    last_tok = jax.lax.dynamic_update_slice(last_tok, first, (slot,))
+    last_tok = last_tok.at[slots_idx].set(first, mode="drop")
     return cache, last_tok
 
 
@@ -163,22 +169,24 @@ def _prefill_prefix(params, ids: Array, *, cfg: UniGenConfig, quantize: bool
 
 
 @partial(jax.jit, static_argnames=("cfg", "top_k"), donate_argnums=(1, 2))
-def _admit_ids_prefix(params, cache, last_tok, slot, prefix, input_ids,
+def _admit_ids_prefix(params, cache, last_tok, slots_idx, prefix, input_ids,
                       prompt_len, temp, row_seed, *, cfg: UniGenConfig,
                       top_k: Optional[int]):
-    """Admission with a shared-prefix KV splice: install the precomputed
-    prefix block, prefill ONLY the suffix against it (cached append at
-    positions P..P+l-1), then install the combined block into the slot row.
+    """Batched admission with a shared-prefix KV splice: broadcast the
+    precomputed prefix block to the K group rows, prefill ONLY the suffixes
+    against it (cached append at positions P..P+l-1), then scatter the
+    combined blocks into the slot rows.
 
     Pad keys in the suffix tail are never visible to a real query: causality
     bounds query j to keys <= P+j < P+prompt_len, and decode overwrites the
     pad slots (the row index starts at P+prompt_len).
     """
     p = prefix.k.shape[2]
-    l = input_ids.shape[1]
-    tmp = qwen2.init_kv_cache(cfg.llm, 1, p + l, quantize=cache.quantized)
+    k_req, l = input_ids.shape
+    tmp = qwen2.init_kv_cache(cfg.llm, k_req, p + l, quantize=cache.quantized)
 
     def put(big, blk):
+        blk = jnp.broadcast_to(blk, blk.shape[:1] + (k_req,) + blk.shape[2:])
         return jax.lax.dynamic_update_slice(
             big, blk.astype(big.dtype), (0,) * big.ndim)
 
@@ -192,22 +200,22 @@ def _admit_ids_prefix(params, cache, last_tok, slot, prefix, input_ids,
                                 cache=tmp)
     last_hidden = jnp.take_along_axis(
         hidden, jnp.broadcast_to((prompt_len - 1)[:, None, None],
-                                 (1, 1, hidden.shape[-1])), axis=1)[:, 0]
+                                 (k_req, 1, hidden.shape[-1])), axis=1)[:, 0]
     lg = qwen2.logits(params["llm"], cfg.llm, last_hidden).astype(jnp.float32)
     first = _sample_rows(_row_keys(row_seed, p + prompt_len), lg, temp, top_k)
 
     def install(big, block):
-        start = (0, slot) + (0,) * (big.ndim - 2)
-        return jax.lax.dynamic_update_slice(big, block.astype(big.dtype), start)
+        return big.at[:, slots_idx, :p + l].set(block.astype(big.dtype),
+                                                mode="drop")
 
     leaves = dict(k=install(cache.k, tmp.k), v=install(cache.v, tmp.v))
     if cache.quantized:
         leaves.update(k_scale=install(cache.k_scale, tmp.k_scale),
                       v_scale=install(cache.v_scale, tmp.v_scale))
-    index = jax.lax.dynamic_update_slice(
-        cache.index, (p + prompt_len).astype(cache.index.dtype), (slot,))
+    index = cache.index.at[slots_idx].set(
+        (p + prompt_len).astype(cache.index.dtype), mode="drop")
     cache = qwen2.KVCache(index=index, **leaves)
-    last_tok = jax.lax.dynamic_update_slice(last_tok, first, (slot,))
+    last_tok = last_tok.at[slots_idx].set(first, mode="drop")
     return cache, last_tok
 
 
@@ -306,25 +314,27 @@ def _ctx_install(ctx: Array, slot, row: Array) -> Array:
 
 
 @partial(jax.jit, static_argnames=("cfg", "top_k"), donate_argnums=(1, 2))
-def _admit_ids(params, cache, last_tok, slot, input_ids, prompt_len, temp,
+def _admit_ids(params, cache, last_tok, slots_idx, input_ids, prompt_len, temp,
                row_seed, *, cfg: UniGenConfig, top_k: Optional[int]):
-    """Text-prompt admission: embeds + causal/pad mask built in-program."""
+    """Batched text-prompt admission: K rows' embeds + causal/pad masks built
+    in-program, one prefill forward, scatter installs into the slot rows."""
     l = input_ids.shape[1]
     pos = jnp.arange(l)
     keep = (pos[None, :] < prompt_len[:, None])
     mask = ((pos[:, None] >= pos[None, :])[None, None]
             & keep[:, None, None, :] & keep[:, None, :, None])
     emb = embed_tokens(params, input_ids)
-    return _admit_core(params, cfg, cache, last_tok, slot, emb, mask,
+    return _admit_core(params, cfg, cache, last_tok, slots_idx, emb, mask,
                        prompt_len, temp, row_seed, top_k)
 
 
 @partial(jax.jit, static_argnames=("cfg", "top_k"), donate_argnums=(1, 2))
-def _admit_embeds(params, cache, last_tok, slot, inputs_embeds, attn_mask,
+def _admit_embeds(params, cache, last_tok, slots_idx, inputs_embeds, attn_mask,
                   prompt_len, temp, row_seed, *, cfg: UniGenConfig,
                   top_k: Optional[int]):
-    """Continuous-prompt admission (VQA: spliced vision embeddings + omni mask)."""
-    return _admit_core(params, cfg, cache, last_tok, slot, inputs_embeds,
+    """Batched continuous-prompt admission (VQA: spliced vision embeddings +
+    omni masks)."""
+    return _admit_core(params, cfg, cache, last_tok, slots_idx, inputs_embeds,
                        attn_mask, prompt_len, temp, row_seed, top_k)
 
 
@@ -510,6 +520,9 @@ class ServingEngine:
         self._active = np.zeros((slots,), bool)
         self._slot_req: List[Optional[_Request]] = [None] * slots
 
+        # batched-admission group cap: K same-signature pending requests cost
+        # one prefill dispatch; power-of-two padding bounds compile variants
+        self._admit_cap = max(1, min(8, slots))
         self._rid = itertools.count()
         self._queue: "queue.Queue[Optional[_Request]]" = queue.Queue()
         self._pending: List[_Request] = []
@@ -689,33 +702,77 @@ class ServingEngine:
             except queue.Empty:
                 return
 
+    def _admit_sig(self, req: _Request):
+        """Admit-program signature: requests sharing one can batch into a
+        single prefill dispatch (same compiled program shape)."""
+        if req.input_ids is not None:
+            return ("ids", req.input_ids.shape[1])
+        return ("emb", req.inputs_embeds.shape[1], req.inputs_embeds.shape[2])
+
     def _admit_pending(self) -> None:
         free = [i for i in range(self.slots) if not self._active[i]]
         while free and self._pending:
-            slot, req = free.pop(0), self._pending.pop(0)
-            if req.future._cancelled:  # cancelled before admission: no device work
-                req.future._fail(CancelledError(f"request {req.rid} cancelled"))
-                free.insert(0, slot)
+            head = self._pending.pop(0)
+            if head.future._cancelled:  # cancelled before admission: no device work
+                head.future._fail(CancelledError(f"request {head.rid} cancelled"))
                 continue
-            plen = jnp.asarray([req.prompt_len], jnp.int32)
-            temp = jnp.asarray([req.temperature], jnp.float32)
-            self._row_seed[slot] = req.seed
-            rseed = jnp.asarray([req.seed], jnp.int32)
-            if req.input_ids is not None and self._prefix is not None:
+            # BATCHED admission (round 4): take the longest FIFO prefix of
+            # pending requests sharing the head's program signature, up to the
+            # free slots and the group cap — K requests cost ONE prefill
+            # program dispatch instead of K (the dominant serving cost for
+            # prompt-heavy workloads; BENCH.md lmms serving section)
+            sig = self._admit_sig(head)
+            group, slots_used = [head], [free.pop(0)]
+            while (free and self._pending
+                   and len(group) < self._admit_cap
+                   and not self._pending[0].future._cancelled
+                   and self._admit_sig(self._pending[0]) == sig):
+                group.append(self._pending.pop(0))
+                slots_used.append(free.pop(0))
+            self._admit_group(group, slots_used)
+
+    def _admit_group(self, group: List[_Request], slots_used: List[int]) -> None:
+        # pad the group to a power-of-two size so the compiled-variant count
+        # stays at log2(cap) per signature; pad rows duplicate row 0 (NaN-free
+        # junk) and target slot index == self.slots, which every scatter
+        # install drops (mode="drop")
+        k = len(group)
+        kpad = 1 << (k - 1).bit_length()
+        pad = kpad - k
+        slots_idx = jnp.asarray(slots_used + [self.slots] * pad, jnp.int32)
+        plen = jnp.asarray([r.prompt_len for r in group]
+                           + [group[0].prompt_len] * pad, jnp.int32)
+        temp = jnp.asarray([r.temperature for r in group] + [0.0] * pad,
+                           jnp.float32)
+        rseed = jnp.asarray([r.seed for r in group] + [0] * pad, jnp.int32)
+        if group[0].input_ids is not None:
+            ids = np.concatenate([r.input_ids for r in group]
+                                 + [group[0].input_ids] * pad, axis=0)
+            if self._prefix is not None:
                 self._cache, self._last_tok = _admit_ids_prefix(
-                    self.params, self._cache, self._last_tok, slot,
-                    self._prefix, jnp.asarray(req.input_ids), plen, temp,
-                    rseed, cfg=self.cfg, top_k=self.top_k)
-            elif req.input_ids is not None:
-                self._cache, self._last_tok = _admit_ids(
-                    self.params, self._cache, self._last_tok, slot,
-                    jnp.asarray(req.input_ids), plen, temp, rseed,
+                    self.params, self._cache, self._last_tok, slots_idx,
+                    self._prefix, jnp.asarray(ids), plen, temp, rseed,
                     cfg=self.cfg, top_k=self.top_k)
             else:
-                self._cache, self._last_tok = _admit_embeds(
-                    self.params, self._cache, self._last_tok, slot,
-                    jnp.asarray(req.inputs_embeds), jnp.asarray(req.attn_mask),
-                    plen, temp, rseed, cfg=self.cfg, top_k=self.top_k)
+                self._cache, self._last_tok = _admit_ids(
+                    self.params, self._cache, self._last_tok, slots_idx,
+                    jnp.asarray(ids), plen, temp, rseed,
+                    cfg=self.cfg, top_k=self.top_k)
+        else:
+            # embeds may be device-resident (prefill/decode overlap) — concat
+            # on device, never through host memory
+            embs = [r.inputs_embeds for r in group] + [group[0].inputs_embeds] * pad
+            msks = [r.attn_mask for r in group] + [group[0].attn_mask] * pad
+            emb = embs[0] if kpad == 1 else jnp.concatenate(
+                [jnp.asarray(e) for e in embs], axis=0)
+            msk = msks[0] if kpad == 1 else jnp.concatenate(
+                [jnp.asarray(m) for m in msks], axis=0)
+            self._cache, self._last_tok = _admit_embeds(
+                self.params, self._cache, self._last_tok, slots_idx,
+                jnp.asarray(emb), jnp.asarray(msk), plen, temp, rseed,
+                cfg=self.cfg, top_k=self.top_k)
+        for slot, req in zip(slots_used, group):
+            self._row_seed[slot] = req.seed
             if self.speculate_k > 0:
                 if req.input_ids is not None:
                     row, start = req.input_ids, 0
