@@ -308,9 +308,11 @@ def _spec_decode_chunk(params, cache: qwen2.KVCache, last_tok: Array, ctx: Array
 
 
 @partial(jax.jit, donate_argnums=(0,))
-def _ctx_install(ctx: Array, slot, row: Array) -> Array:
-    """Write one request's known token ids into its slot's context row."""
-    return jax.lax.dynamic_update_slice(ctx, row.astype(ctx.dtype), (slot, 0))
+def _ctx_install(ctx: Array, slots_idx: Array, rows: Array) -> Array:
+    """Scatter a group's known token ids into their slots' context rows
+    (out-of-bounds padding rows dropped, like the cache installs)."""
+    return ctx.at[slots_idx, :rows.shape[1]].set(rows.astype(ctx.dtype),
+                                                 mode="drop")
 
 
 @partial(jax.jit, static_argnames=("cfg", "top_k"), donate_argnums=(1, 2))
@@ -771,9 +773,9 @@ class ServingEngine:
                 self.params, self._cache, self._last_tok, slots_idx,
                 jnp.asarray(emb), jnp.asarray(msk), plen, temp, rseed,
                 cfg=self.cfg, top_k=self.top_k)
-        for slot, req in zip(slots_used, group):
-            self._row_seed[slot] = req.seed
-            if self.speculate_k > 0:
+        if self.speculate_k > 0:
+            rows = []
+            for slot, req in zip(slots_used, group):
                 if req.input_ids is not None:
                     row, start = req.input_ids, 0
                     if self._prefix_ids is not None:
@@ -783,9 +785,16 @@ class ServingEngine:
                 else:  # no ids known: draft only from the generated region
                     row = np.zeros((1, req.inputs_embeds.shape[1]), np.int32)
                     start = req.prompt_len
-                self._ctx = _ctx_install(self._ctx, np.int32(slot),
-                                         jnp.asarray(row, jnp.int32))
+                rows.append(row)
                 self._ctx_start[slot] = start
+            # one scatter for the whole group (rows share the signature's
+            # bucketed length; padding rows dropped like the cache installs)
+            self._ctx = _ctx_install(
+                self._ctx, slots_idx,
+                jnp.asarray(np.concatenate(rows + [rows[0]] * pad, axis=0),
+                            jnp.int32))
+        for slot, req in zip(slots_used, group):
+            self._row_seed[slot] = req.seed
             # no host fetch here: the request's first token (sampled in the
             # admit program) arrives through the next decode chunk's outputs
             self._slot_req[slot] = req
