@@ -299,9 +299,16 @@ def main(batch_size: int = 6, timesteps: int = 50, warmup: int = 1, iters: int =
 
 
 def bench_vqa(batch_size: int = 8, prompt_len: int = 600, max_new_tokens: int = 128,
-              quant: Optional[str] = None):
+              quant: Optional[str] = None, kv_layout: str = "bskd"):
     """VQA decode throughput: prefix-LM cached decode over a SigLIP-sized prompt
-    (729 image patches + question ≈ 600-900 tokens). Reports tokens/sec/chip."""
+    (729 image patches + question ≈ 600-900 tokens). Reports tokens/sec/chip.
+
+    ``kv_layout`` (CLI: ``kvseq`` -> skbd, ``kvhead`` -> bhsd) changes the
+    KV-cache storage order — the layout lever named by the round-4 decode
+    trace (bhsd matches the order the attention fusion consumes, so the
+    per-layer cache slice stops being a 0.63 ms/step transpose relayout)."""
+    import dataclasses
+
     import jax
     import jax.numpy as jnp
 
@@ -311,6 +318,10 @@ def bench_vqa(batch_size: int = 8, prompt_len: int = 600, max_new_tokens: int = 
 
     _enable_compile_cache()
     cfg = unigen.UniGenConfig.for_qwen25_15b()
+    if kv_layout != "bskd":
+        cfg = dataclasses.replace(cfg, llm=dataclasses.replace(
+            cfg.llm, kv_layout=kv_layout))
+        print(f"[bench] vqa KV cache layout: {kv_layout}", file=sys.stderr)
     params = jax.jit(lambda k: unigen.init(k, cfg))(jax.random.key(0))
     if quant in ("int8", "int8+kv"):
         # backbone W8A8 + int8 text head: the head's [D, 160k] read is ~25%
@@ -364,7 +375,8 @@ def bench_vqa(batch_size: int = 8, prompt_len: int = 600, max_new_tokens: int = 
                       "vs_baseline": None, "synced": True,
                       "config": {"quant": quant or "bf16", "batch": batch_size,
                                  "prompt_len": prompt_len,
-                                 "max_new_tokens": max_new_tokens}}))
+                                 "max_new_tokens": max_new_tokens,
+                                 "kv_layout": kv_layout}}))
 
 
 def bench_lmms(batch_sizes=(8, 16, 32), n_requests: int = 64,
@@ -1131,7 +1143,10 @@ if __name__ == "__main__":
         nums = [a for a in args[1:] if a.isdigit()]
         q = next((a for a in args if a in
                   ("int8", "int8kv", "int8+kv", "int4", "int4+kv")), None)
-        bench_vqa(batch_size=int(nums[0]) if nums else 8, quant=q)
+        lay = "skbd" if "kvseq" in args else ("bhsd" if "kvhead" in args
+                                              else "bskd")
+        bench_vqa(batch_size=int(nums[0]) if nums else 8, quant=q,
+                  kv_layout=lay)
     elif args and args[0] == "tokenizer":
         bench_tokenizer(batch_size=int(args[1]) if len(args) > 1 else 16)
     elif args and args[0] == "lmms":

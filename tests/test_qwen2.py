@@ -85,6 +85,63 @@ def test_kv_cache_decode_matches_full_forward(hf_pair):
     np.testing.assert_allclose(stepwise, np.asarray(full_hidden), atol=1e-5, rtol=1e-5)
 
 
+@pytest.mark.parametrize("quantize", [False, True])
+@pytest.mark.parametrize("layout", ["skbd", "bhsd"])
+def test_kv_layout_matches_batch_major(hf_pair, quantize, layout):
+    """Alternate cache storage orders (cfg.kv_layout: seq-major "skbd",
+    head-major "bhsd") are pure storage-order changes: prefill + decode must
+    match the default batch-major layout (same quantization points, same
+    arithmetic — gated at fp32 tolerance)."""
+    import dataclasses
+    _, cfg, params = hf_pair
+    cfg_sm = dataclasses.replace(cfg, kv_layout=layout)
+    rng = np.random.default_rng(3)
+    b, l = 2, 9
+    ids = jnp.asarray(rng.integers(0, cfg.vocab_size, size=(b, l)))
+
+    outs = []
+    for c in (cfg, cfg_sm):
+        cache = Q.init_kv_cache(c, b, max_len=16, quantize=quantize,
+                                dtype=jnp.float32)
+        hs, cache = Q.forward(params, c, input_ids=ids[:, :5], cache=cache)
+        parts = [hs]
+        for t in range(5, l):
+            h, cache = Q.forward(params, c, input_ids=ids[:, t:t + 1], cache=cache)
+            parts.append(h)
+        outs.append(np.concatenate([np.asarray(h) for h in parts], axis=1))
+    np.testing.assert_allclose(outs[0], outs[1], atol=1e-5, rtol=1e-5)
+
+
+@pytest.mark.parametrize("layout", ["skbd", "bhsd"])
+def test_kv_layout_per_row_index_matches(hf_pair, layout):
+    """Serving-style per-row cache ages: decode with each row at its own index
+    must agree across layouts (the vmapped scatter write path)."""
+    import dataclasses
+    _, cfg, params = hf_pair
+    cfg_sm = dataclasses.replace(cfg, kv_layout=layout)
+    rng = np.random.default_rng(4)
+    b, smax = 3, 12
+    lens = np.array([4, 2, 5])
+    ids = jnp.asarray(rng.integers(0, cfg.vocab_size, size=(b, smax)))
+
+    outs = []
+    for c in (cfg, cfg_sm):
+        cache = Q.init_kv_cache(c, b, max_len=smax, per_row_index=True,
+                                dtype=jnp.float32)
+        # simulate per-row prefill by writing each row's prompt one token at a
+        # time at its own position (rows advance together but from different
+        # starting ages after this seed step)
+        cache = cache._replace(index=jnp.asarray(lens, jnp.int32))
+        steps = []
+        tok = ids[:, 0:1]
+        for t in range(3):
+            h, cache = Q.forward(params, c, input_ids=tok, cache=cache)
+            steps.append(np.asarray(h))
+            tok = ids[:, t + 1:t + 2]
+        outs.append(np.concatenate(steps, axis=1))
+    np.testing.assert_allclose(outs[0], outs[1], atol=1e-5, rtol=1e-5)
+
+
 def test_logits_vocab_slice(hf_pair):
     _, cfg, params = hf_pair
     ids = jnp.asarray([[1, 2, 3]])

@@ -419,6 +419,31 @@ def test_engine_speculative_with_quantized_cache(model):
     assert run(0) == run(4)
 
 
+@pytest.mark.parametrize("quantize", [False, True])
+@pytest.mark.parametrize("layout", ["skbd", "bhsd"])
+def test_engine_kv_layout_matches(model, quantize, layout):
+    """cfg.llm.kv_layout changes the KV-cache storage order; the engine's
+    admission installs, per-row scatter writes, speculation, and decode must
+    all be layout-invariant: identical token streams, every layout, greedy
+    and sampled."""
+    import dataclasses
+    cfg, params = model
+    cfg_sm = dataclasses.replace(cfg, llm=dataclasses.replace(
+        cfg.llm, kv_layout=layout))
+    prompts = _prompts(cfg, [5, 11, 3, 9, 6], seed=41)
+
+    def run(c):
+        with ServingEngine(params, c, slots=3, max_len=64, buckets=(16,),
+                           chunk=3, seed=5, quantized_cache=quantize,
+                           speculate_k=3) as eng:
+            futs = [eng.submit(p, max_new_tokens=8,
+                               temperature=0.0 if i % 2 else 0.8, seed=100 + i)
+                    for i, p in enumerate(prompts)]
+            return [f.result(timeout=300) for f in futs]
+
+    assert run(cfg) == run(cfg_sm)
+
+
 def test_engine_sampled_schedule_independent(model):
     """A sampled request with an explicit seed yields the SAME tokens no
     matter how it is scheduled: different slot counts, chunk sizes, queue
@@ -480,11 +505,17 @@ def test_engine_concurrent_submitters_exact(model):
 
 
 @pytest.mark.parametrize("spec_k", [0, 3])
-def test_engine_shared_prefix_matches_full_prompt(model, spec_k):
+@pytest.mark.parametrize("layout", ["bskd", "bhsd"])
+def test_engine_shared_prefix_matches_full_prompt(model, spec_k, layout):
     """A shared-prefix engine (prefix KV computed once, suffix-only admission
     prefill) must emit the same tokens as sending prefix+suffix as the full
-    prompt — with and without speculation, across staggered admissions."""
+    prompt — with and without speculation, across staggered admissions, in
+    both KV-cache layouts (the prefix broadcast + splice is layout-aware)."""
+    import dataclasses
     cfg, params = model
+    if layout != "bskd":
+        cfg = dataclasses.replace(cfg, llm=dataclasses.replace(
+            cfg.llm, kv_layout=layout))
     rng = np.random.default_rng(53)
     prefix = rng.integers(3, cfg.text_vocab_len - 1, size=9).tolist()
     suffixes = _prompts(cfg, [5, 11, 7], seed=54)

@@ -44,7 +44,7 @@ def _sample_step(key: Array, logits: Array, temperature: float, top_k: Optional[
 def _decode_loop(params, cfg: UniGenConfig, key, cache, valid, first_tok, prompt_len,
                  max_new_tokens, temperature, top_k, eot_token, noise=None):
     """Shared cached decode: first_tok is the token sampled from prefill."""
-    total = cache.k.shape[2]
+    total = qwen2.cache_len(cfg.llm, cache)
     b = valid.shape[0]
     eot = -1 if eot_token is None else eot_token
 

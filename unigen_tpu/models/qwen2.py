@@ -50,6 +50,15 @@ class Qwen2Config:
     rope_type: str = "linear"
     tie_word_embeddings: bool = True
     dtype: Any = jnp.bfloat16
+    # KV-cache storage order (names omit the leading layer axis):
+    #   "bskd": [L, B, S, KVH, Dh] — the original batch-major order.
+    #   "skbd": [L, S, KVH, B, Dh] — seq-major.
+    #   "bhsd": [L, B, KVH, S, Dh] — head-major; matches the memory order the
+    #           decode attention fusion consumes K/V in (scheduled-HLO layout
+    #           {4,2,3,1,0} over bskd = exactly bhsd), so XLA's per-layer
+    #           cache slice stops being a transpose relayout (0.63 ms/step =
+    #           15% of the VQA decode step at batch 32, BENCH.md r4 trace).
+    kv_layout: str = "bskd"
 
     @classmethod
     def tiny(cls, vocab_size: int = 512, **kw) -> "Qwen2Config":
@@ -62,7 +71,11 @@ class Qwen2Config:
 
 
 class KVCache(NamedTuple):
-    """Per-layer-stacked KV cache: k/v are [num_layers, B, max_len, KVH, Dh].
+    """Per-layer-stacked KV cache. Storage order is set by ``cfg.kv_layout``
+    (default [num_layers, B, max_len, KVH, Dh]; see Qwen2Config) — scales
+    follow the k/v order with the trailing Dh dropped. The layout is a
+    property of the config, not the cache object: every consumer receives
+    ``cfg`` alongside the cache.
 
     Optionally int8-quantized (``init_kv_cache(..., quantize=True)``): k/v are
     stored int8 with per-(slot, head) symmetric scales — halves the dominant
@@ -85,11 +98,29 @@ class KVCache(NamedTuple):
         return self.k_scale is not None
 
 
+_KV_SEQ_AXIS = {"bskd": 2, "skbd": 1, "bhsd": 3}
+
+
+def kv_seq_axis(cfg: Qwen2Config) -> int:
+    """Axis of the sequence (slot) dimension in the cache k/v arrays."""
+    return _KV_SEQ_AXIS[cfg.kv_layout]
+
+
+def cache_len(cfg: Qwen2Config, cache: KVCache) -> int:
+    """Number of slots allocated in the cache."""
+    return cache.k.shape[kv_seq_axis(cfg)]
+
+
 def init_kv_cache(cfg: Qwen2Config, batch_size: int, max_len: int,
                   dtype: Optional[Any] = None, quantize: bool = False,
                   per_row_index: bool = False) -> KVCache:
-    shape = (cfg.num_hidden_layers, batch_size, max_len,
-             cfg.num_key_value_heads, cfg.head_dim)
+    L, kvh, dh = cfg.num_hidden_layers, cfg.num_key_value_heads, cfg.head_dim
+    if cfg.kv_layout == "skbd":
+        shape = (L, max_len, kvh, batch_size, dh)
+    elif cfg.kv_layout == "bhsd":
+        shape = (L, batch_size, kvh, max_len, dh)
+    else:
+        shape = (L, batch_size, max_len, kvh, dh)
     index = jnp.zeros((batch_size,) if per_row_index else (), jnp.int32)
     if quantize:
         sshape = shape[:-1]
@@ -100,25 +131,48 @@ def init_kv_cache(cfg: Qwen2Config, batch_size: int, max_len: int,
     return KVCache(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype), index)
 
 
-def _cache_write(buf: Array, upd: Array, li: Array, cache_index: Array) -> Array:
+def _cache_write(buf: Array, upd: Array, li: Array, cache_index: Array,
+                 layout: str = "bskd") -> Array:
     """Write a chunk into one layer of the stacked cache buffer.
 
-    ``buf``: [layers, B, T, ...]; ``upd``: [B, l, ...]; ``li``: scalar layer index.
+    ``buf``: one of the ``cfg.kv_layout`` orders; ``upd``: [B, l, ...];
+    ``li``: scalar layer index.
     Scalar ``cache_index``: one dynamic_update_slice at the shared position.
     [B] ``cache_index``: per-row positions — a vmapped dynamic_update_slice,
     which XLA lowers to a scatter and aliases in the scan carry (the
     continuous-batching engine keeps every serving slot at its own age).
     """
     upd = upd.astype(buf.dtype)
+    if layout == "bhsd":
+        upd = jnp.swapaxes(upd, 1, 2)  # [B, KVH, l(, Dh)]
     if jnp.ndim(cache_index) == 0:
+        if layout == "skbd":
+            # [B, l, ...] -> [l, ..., B(, Dh)]: batch lands at index 2 for both
+            # values ([l, KVH, B, Dh]) and scales ([l, KVH, B])
+            upd = jnp.moveaxis(upd, 0, 2)
+            zeros = (0,) * (buf.ndim - 2)
+            return jax.lax.dynamic_update_slice(buf, upd[None],
+                                                (li, cache_index) + zeros)
+        if layout == "bhsd":
+            zeros = (0,) * (buf.ndim - 4)
+            return jax.lax.dynamic_update_slice(
+                buf, upd[None], (li, 0, 0, cache_index) + zeros)
         zeros = (0,) * (buf.ndim - 3)
         return jax.lax.dynamic_update_slice(buf, upd[None], (li, 0, cache_index) + zeros)
+
+    if layout == "bhsd":
+        def one_h(buf_b, upd_b, i):  # buf_b [L, KVH, S(, Dh)], upd_b [KVH, l(, Dh)]
+            z = (0,) * (buf_b.ndim - 3)
+            return jax.lax.dynamic_update_slice(buf_b, upd_b[None], (li, 0, i) + z)
+
+        return jax.vmap(one_h, in_axes=(1, 0, 0), out_axes=1)(buf, upd, cache_index)
 
     def one(buf_b, upd_b, i):
         z = (0,) * (buf_b.ndim - 2)
         return jax.lax.dynamic_update_slice(buf_b, upd_b[None], (li, i) + z)
 
-    return jax.vmap(one, in_axes=(1, 0, 0), out_axes=1)(buf, upd, cache_index)
+    axis = 3 if layout == "skbd" else 1
+    return jax.vmap(one, in_axes=(axis, 0, 0), out_axes=axis)(buf, upd, cache_index)
 
 
 def _kv_quantize(x: Array) -> Tuple[Array, Array]:
@@ -284,6 +338,7 @@ def _attention_block(p, cfg: Qwen2Config, x: Array, mask: Optional[Array],
     k = rope(k, positions, cfg.rope_theta, cfg.rope_scaling_factor)
 
     new_cache = None
+    kv_format = cfg.kv_layout
     if cache_ctx is not None and len(cache_ctx[0]) == 4:
         # int8 cache: quantize the incoming chunk; attention applies the scales
         # post-matmul so the cache is never expanded to a bf16 temp
@@ -291,23 +346,23 @@ def _attention_block(p, cfg: Qwen2Config, x: Array, mask: Optional[Array],
         (ck, cv, cks, cvs), li, cache_index = cache_ctx
         kq, ks_new = _kv_quantize(k)
         vq, vs_new = _kv_quantize(v)
-        ck = _cache_write(ck, kq, li, cache_index)
-        cv = _cache_write(cv, vq, li, cache_index)
-        cks = _cache_write(cks, ks_new, li, cache_index)
-        cvs = _cache_write(cvs, vs_new, li, cache_index)
+        ck = _cache_write(ck, kq, li, cache_index, kv_format)
+        cv = _cache_write(cv, vq, li, cache_index, kv_format)
+        cks = _cache_write(cks, ks_new, li, cache_index, kv_format)
+        cvs = _cache_write(cvs, vs_new, li, cache_index, kv_format)
         out = dot_product_attention_q8(
             q,
             jax.lax.dynamic_index_in_dim(ck, li, 0, keepdims=False),
             jax.lax.dynamic_index_in_dim(cks, li, 0, keepdims=False),
             jax.lax.dynamic_index_in_dim(cv, li, 0, keepdims=False),
             jax.lax.dynamic_index_in_dim(cvs, li, 0, keepdims=False),
-            mask=mask)
+            mask=mask, kv_format=kv_format)
         out = out.reshape(b, l, h * dh)
         return _dense(p["o"], out), (ck, cv, cks, cvs)
     elif cache_ctx is not None:
         (ck, cv), li, cache_index = cache_ctx
-        ck = _cache_write(ck, k, li, cache_index)
-        cv = _cache_write(cv, v, li, cache_index)
+        ck = _cache_write(ck, k, li, cache_index, kv_format)
+        cv = _cache_write(cv, v, li, cache_index, kv_format)
         k = jax.lax.dynamic_index_in_dim(ck, li, 0, keepdims=False)
         v = jax.lax.dynamic_index_in_dim(cv, li, 0, keepdims=False)
         new_cache = (ck, cv)
@@ -315,6 +370,12 @@ def _attention_block(p, cfg: Qwen2Config, x: Array, mask: Optional[Array],
             # per-row key-visibility mask (t2i chunk step): the whole attention
             # problem runs in VMEM — the [B, H, Lq, S] logits never touch HBM
             from ..ops.chunk_attention import chunk_attention
+            if kv_format != "bskd":
+                # kernel expects [B, S, KVH, Dh]; the chunk kernel is opt-in
+                # (dead-by-default, BENCH.md) so the transpose is acceptable
+                perm = (2, 0, 1, 3) if kv_format == "skbd" else (0, 2, 1, 3)
+                k = jnp.transpose(k, perm)
+                v = jnp.transpose(v, perm)
             out = chunk_attention(q, k, v, kv_rowmask)
             return _dense(p["o"], out.reshape(b, l, h * dh)), new_cache
 
@@ -325,7 +386,9 @@ def _attention_block(p, cfg: Qwen2Config, x: Array, mask: Optional[Array],
         out = flash_attention(q, k.astype(q.dtype), v.astype(q.dtype), meta_bits,
                               interpret=jax.default_backend() != "tpu")
     else:
-        out = dot_product_attention(q, k.astype(q.dtype), v.astype(q.dtype), mask=mask)
+        out = dot_product_attention(q, k.astype(q.dtype), v.astype(q.dtype), mask=mask,
+                                    kv_format=kv_format if new_cache is not None
+                                    else "bskd")
     out = out.reshape(b, l, h * dh)
     return _dense(p["o"], out), new_cache
 
@@ -413,7 +476,7 @@ def forward(
     if cache is not None and mask is None and kv_rowmask is None:
         # Decode-step mask: attend to every cache slot < index + this chunk (causal
         # within the chunk).
-        s = cache.k.shape[2]
+        s = cache_len(cfg, cache)
         kpos = jnp.arange(s)[None, None, None, :]
         idx = (cache.index[:, None, None, None] if jnp.ndim(cache.index) == 1
                else cache.index)

@@ -21,22 +21,29 @@ Array = jax.Array
 
 def dot_product_attention(
     q: Array,                       # [B, Lq, H, Dh]
-    k: Array,                       # [B, Lk, KVH, Dh]
-    v: Array,                       # [B, Lk, KVH, Dh]
+    k: Array,                       # [B, Lk, KVH, Dh] ("bskd"), [Lk, KVH, B, Dh]
+                                    # ("skbd"), or [B, KVH, Lk, Dh] ("bhsd")
+    v: Array,                       # same layout as k
     mask: Optional[Array] = None,   # [B, 1, Lq, Lk] bool (True = visible)
     meta: Optional[AttnMeta] = None,
     scale: Optional[float] = None,
     impl: str = "auto",
+    kv_format: str = "bskd",
 ) -> Array:
     """Multi-head attention with fp32 softmax. Returns [B, Lq, H, Dh].
 
     Either ``mask`` (boolean) or ``meta`` (per-token metadata) may be provided; with
     ``meta`` the XLA path materializes visibility lazily (XLA fuses it into the
     softmax), and the Pallas path never materializes it at all.
+
+    ``kv_format`` consumes K/V directly in any of the KV-cache storage
+    orders (models/qwen2.py::Qwen2Config.kv_layout) — no transpose is
+    materialized, the einsum carries the layout.
     """
     del impl  # Pallas kernel is selected inside flash_attention when available.
     b, lq, h, dh = q.shape
-    lk, kvh = k.shape[1], k.shape[2]
+    kv_spec = {"bskd": "bskd", "skbd": "skbd", "bhsd": "bksd"}[kv_format]
+    kvh = k.shape[1] if kv_format == "skbd" else k.shape[2 if kv_format == "bskd" else 1]
     g = h // kvh
 
     if scale is None:
@@ -45,7 +52,7 @@ def dot_product_attention(
     # GQA-grouped einsum: query heads reshape to [KVH, G] so K/V are NEVER
     # repeated/materialized G-fold (a 6x cache copy per decode step for Qwen2.5)
     qg = q.reshape(b, lq, kvh, g, dh)
-    logits = jnp.einsum("bqkgd,bskd->bkgqs", qg, k,
+    logits = jnp.einsum(f"bqkgd,{kv_spec}->bkgqs", qg, k,
                         preferred_element_type=jnp.float32) * scale
 
     if mask is None and meta is not None:
@@ -54,18 +61,19 @@ def dot_product_attention(
         logits = jnp.where(mask[:, :, None], logits, jnp.finfo(jnp.float32).min)
 
     weights = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
-    out = jnp.einsum("bkgqs,bskd->bqkgd", weights, v)
+    out = jnp.einsum(f"bkgqs,{kv_spec}->bqkgd", weights, v)
     return out.reshape(b, lq, h, dh)
 
 
 def dot_product_attention_q8(
     q: Array,            # [B, Lq, H, Dh]
-    k_q: Array,          # [B, Lk, KVH, Dh] int8
-    k_scale: Array,      # [B, Lk, KVH] fp32
-    v_q: Array,          # [B, Lk, KVH, Dh] int8
-    v_scale: Array,      # [B, Lk, KVH] fp32
+    k_q: Array,          # int8, any kv_format order (see dot_product_attention)
+    k_scale: Array,      # fp32, k_q's order with Dh dropped
+    v_q: Array,          # layout of k_q
+    v_scale: Array,      # layout of k_scale
     mask: Optional[Array] = None,   # [B, 1, Lq, Lk] bool
     scale: Optional[float] = None,
+    kv_format: str = "bskd",
 ) -> Array:
     """Attention over an int8 KV cache with POST-matmul scale application.
 
@@ -75,21 +83,30 @@ def dot_product_attention_q8(
     bf16 temp — the int8->bf16 convert fuses into the dot operands.
     """
     b, lq, h, dh = q.shape
-    kvh = k_q.shape[2]
+    kv_spec = {"bskd": "bskd", "skbd": "skbd", "bhsd": "bksd"}[kv_format]
+    kvh = k_q.shape[{"bskd": 2, "skbd": 1, "bhsd": 1}[kv_format]]
     g = h // kvh
     if scale is None:
         scale = dh ** -0.5
 
+    def bcast(sc):  # -> [B, KVH, 1, 1, S] for the bkgqs logits
+        if kv_format == "skbd":
+            sc = jnp.transpose(sc, (2, 1, 0))
+        elif kv_format == "bskd":
+            sc = jnp.moveaxis(sc, 1, 2)
+        # bhsd scales are already [B, KVH, S]
+        return sc[:, :, None, None, :]
+
     qg = q.reshape(b, lq, kvh, g, dh)
-    logits = jnp.einsum("bqkgd,bskd->bkgqs", qg, k_q.astype(q.dtype),
+    logits = jnp.einsum(f"bqkgd,{kv_spec}->bkgqs", qg, k_q.astype(q.dtype),
                         preferred_element_type=jnp.float32)
     # apply q-scale and the k slot scales after the matmul
-    logits = logits * scale * jnp.moveaxis(k_scale, 1, 2)[:, :, None, None, :]
+    logits = logits * scale * bcast(k_scale)
 
     if mask is not None:
         logits = jnp.where(mask[:, :, None], logits, jnp.finfo(jnp.float32).min)
 
     weights = jax.nn.softmax(logits, axis=-1)
-    weights = (weights * jnp.moveaxis(v_scale, 1, 2)[:, :, None, None, :]).astype(q.dtype)
-    out = jnp.einsum("bkgqs,bskd->bqkgd", weights, v_q.astype(q.dtype))
+    weights = (weights * bcast(v_scale)).astype(q.dtype)
+    out = jnp.einsum(f"bkgqs,{kv_spec}->bqkgd", weights, v_q.astype(q.dtype))
     return out.reshape(b, lq, h, dh)

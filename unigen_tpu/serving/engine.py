@@ -142,9 +142,15 @@ def _admit_core(params, cfg: UniGenConfig, cache: qwen2.KVCache, last_tok,
     first = _sample_rows(_row_keys(row_seed, prompt_len), lg, temp, top_k)
 
     def install(big, block):
-        # scatter the K request rows into their slots (first l positions)
-        return big.at[:, slots_idx, :l].set(block.astype(big.dtype),
-                                            mode="drop")
+        # scatter the K request rows into their slots (first l positions);
+        # index expressions follow cfg.llm.kv_layout (qwen2.Qwen2Config)
+        block = block.astype(big.dtype)
+        lay = cfg.llm.kv_layout
+        if lay == "skbd":
+            return big.at[:, :l, :, slots_idx].set(block, mode="drop")
+        if lay == "bhsd":
+            return big.at[:, slots_idx, :, :l].set(block, mode="drop")
+        return big.at[:, slots_idx, :l].set(block, mode="drop")
 
     leaves = dict(k=install(cache.k, tmp.k), v=install(cache.v, tmp.v))
     if cache.quantized:
@@ -181,12 +187,14 @@ def _admit_ids_prefix(params, cache, last_tok, slots_idx, prefix, input_ids,
     bounds query j to keys <= P+j < P+prompt_len, and decode overwrites the
     pad slots (the row index starts at P+prompt_len).
     """
-    p = prefix.k.shape[2]
+    p = qwen2.cache_len(cfg.llm, prefix)
     k_req, l = input_ids.shape
     tmp = qwen2.init_kv_cache(cfg.llm, k_req, p + l, quantize=cache.quantized)
+    batch_ax = 3 if cfg.llm.kv_layout == "skbd" else 1
 
     def put(big, blk):
-        blk = jnp.broadcast_to(blk, blk.shape[:1] + (k_req,) + blk.shape[2:])
+        blk = jnp.broadcast_to(
+            blk, blk.shape[:batch_ax] + (k_req,) + blk.shape[batch_ax + 1:])
         return jax.lax.dynamic_update_slice(
             big, blk.astype(big.dtype), (0,) * big.ndim)
 
@@ -205,8 +213,13 @@ def _admit_ids_prefix(params, cache, last_tok, slots_idx, prefix, input_ids,
     first = _sample_rows(_row_keys(row_seed, p + prompt_len), lg, temp, top_k)
 
     def install(big, block):
-        return big.at[:, slots_idx, :p + l].set(block.astype(big.dtype),
-                                                mode="drop")
+        block = block.astype(big.dtype)
+        lay = cfg.llm.kv_layout
+        if lay == "skbd":
+            return big.at[:, :p + l, :, slots_idx].set(block, mode="drop")
+        if lay == "bhsd":
+            return big.at[:, slots_idx, :, :p + l].set(block, mode="drop")
+        return big.at[:, slots_idx, :p + l].set(block, mode="drop")
 
     leaves = dict(k=install(cache.k, tmp.k), v=install(cache.v, tmp.v))
     if cache.quantized:
