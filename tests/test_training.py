@@ -251,6 +251,76 @@ def test_checkpoint_roundtrip(tmp_path):
     assert int(restored.step) == int(state.step)
 
 
+def test_checkpoint_cross_mesh_restore(tmp_path, eight_devices):
+    """Save a TrainState sharded over a (2,2,2) mesh; restore bitwise onto a
+    (4,2,1) mesh and onto ONE device, then take one more step.
+
+    This is the scenario the reference cannot handle — it stops evaluation
+    under FSDP "to avoid unsharding problems" (reference train.py:846). Orbax
+    checkpoints are sharding-agnostic: the restore target's shardings decide
+    the layout, so mesh topology can change across save/restore.
+    """
+    from jax.sharding import SingleDeviceSharding
+    from unigen_tpu.parallel.partition import add_fsdp
+    from unigen_tpu.utils import checkpoint as CK
+
+    # batch divisible by both meshes' (data x fsdp) = 4 and 8
+    cfg, vq_cfg, params, vq_params, mk_batch, tx, tcfg, step_fn = _tiny_setup(
+        bt=8, bl=8, bm=8)
+
+    def sharded_state(mesh):
+        specs = add_fsdp(partition_unigen(params), params)
+        state = init_train_state(shard_params(params, specs, mesh), tx)
+        # optimizer scalars (e.g. schedule count) are born uncommitted on one
+        # device; pin them to the mesh so the restore target is homogeneous
+        return jax.tree_util.tree_map(
+            lambda x: x if isinstance(x.sharding, NamedSharding)
+            else jax.device_put(x, NamedSharding(mesh, P())), state)
+
+    mesh_a = make_mesh(data=2, fsdp=2, model=2)
+    state = sharded_state(mesh_a)
+    batch = mk_batch()
+    with jax.set_mesh(mesh_a):
+        state, _ = jax.jit(step_fn)(state, vq_params, batch, jax.random.key(0))
+    want = jax.tree_util.tree_map(np.asarray, state)
+    out = str(tmp_path / "run")
+    CK.save_checkpoint(state, out, step=1)
+    latest = CK.latest_checkpoint(out)
+
+    def assert_bitwise(restored):
+        got = jax.tree_util.tree_map(np.asarray, restored)
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_array_equal(a, b), want, got)
+
+    # (2,2,2) -> (4,2,1): different axis sizes, different per-leaf layouts
+    mesh_b = make_mesh(data=4, fsdp=2, model=1)
+    target_b = sharded_state(mesh_b)
+    restored_b = CK.restore_checkpoint(latest, target_b)
+    assert_bitwise(restored_b)
+    q = restored_b.params["llm"]["layers"]["attn"]["q"]["kernel"]
+    assert q.sharding.mesh.shape["fsdp"] == 2  # actually restored SHARDED
+
+    # (2,2,2) -> one device (the reference's broken unshard-for-eval path)
+    dev = jax.devices()[0]
+    target_1 = jax.tree_util.tree_map(
+        lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype,
+                                       sharding=SingleDeviceSharding(dev)),
+        state)
+    restored_1 = CK.restore_checkpoint(latest, target_1)
+    assert_bitwise(restored_1)
+    assert all(d == dev for leaf in jax.tree_util.tree_leaves(restored_1.params)
+               for d in leaf.devices())
+
+    # the restored cross-mesh state is USABLE: one more step on mesh B
+    batch_b = {k: jax.device_put(v, NamedSharding(mesh_b, partition_batch(v.ndim)))
+               for k, v in batch.items()}
+    with jax.set_mesh(mesh_b):
+        state2, metrics = jax.jit(step_fn)(restored_b, vq_params, batch_b,
+                                           jax.random.key(1))
+    assert np.isfinite(float(metrics["loss"]))
+    assert int(state2.step) == 2
+
+
 def test_flash_attention_train_step_matches_dense():
     """The fused 3-task step under AttnMeta+kernel == dense-mask step (losses)."""
     cfg, vq_cfg, params, vq_params, mk_batch, tx, tcfg, step_fn = _tiny_setup()
