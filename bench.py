@@ -24,10 +24,13 @@ import numpy as np
 class _Watchdog:
     """Hard wall-clock limit: the ambient TPU relay can wedge on device->host
     transfers; on timeout we emit a JSON line flagged as not-synced rather than
-    hanging the driver."""
+    hanging the driver. BENCH_WATCHDOG_SCALE multiplies every budget (the
+    relay's server-side cold-start varies run to run by >2x, BENCH.md)."""
+
+    SCALE = float(os.environ.get("BENCH_WATCHDOG_SCALE", "1"))
 
     def __init__(self, seconds: int):
-        self.seconds = seconds
+        self.seconds = int(seconds * self.SCALE)
 
     def __enter__(self):
         signal.signal(signal.SIGALRM, self._raise)

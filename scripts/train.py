@@ -130,7 +130,8 @@ def main():
         checkpoints_total_limit=config.experiment.get("checkpoints_total_limit"),
         resume_from_checkpoint=config.experiment.get("resume_from_checkpoint"),
         seed=tr.get("seed", 10084),
-        und_type=config.dataset.get("und_type", "captioning"))
+        und_type=config.dataset.get("und_type", "captioning"),
+        ema_decay=tr.get("ema_decay", 0.0))
 
     trainer = Trainer(cfg, vq_cfg, tcfg, trainer_cfg, prompting, tx, params, vq_params)
 

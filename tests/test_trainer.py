@@ -29,7 +29,7 @@ def _flows(b, res, n_batches):
         }
 
 
-def _build(tmp_path, max_steps=3):
+def _build(tmp_path, max_steps=3, ema_decay=0.0):
     tok = MockTokenizer()
     prompting = UniPrompting(tok, special_tokens=SPECIALS, max_seq_len=40,
                              cond_dropout_prob=0.1)
@@ -44,7 +44,8 @@ def _build(tmp_path, max_steps=3):
                            soi_id=prompting.sptids_dict["<|soi|>"],
                            eoi_id=prompting.sptids_dict["<|eoi|>"])
     trainer_cfg = TrainerConfig(output_dir=str(tmp_path), max_train_steps=max_steps,
-                                log_every=1, save_every=2, visualize_every=3, seed=0)
+                                log_every=1, save_every=2, visualize_every=3, seed=0,
+                                ema_decay=ema_decay)
     return Trainer(cfg, vq_cfg, tcfg, trainer_cfg, prompting, tx, params, vq_params)
 
 
@@ -69,6 +70,45 @@ def test_trainer_runs_saves_and_resumes(tmp_path):
     assert trainer2.global_step == 3
     state2 = trainer2.train(_flows(2, 8, 10))
     assert int(state2.step) == 5
+
+
+def test_trainer_ema_tracks_and_survives_resume(tmp_path):
+    """With ema_decay>0 the in-step EMA advances with training, survives a
+    checkpoint resume exactly, and is what the portable export contains
+    (live version of the reference's unused EMA, training_utils.py:59-295)."""
+    import orbax.checkpoint as ocp
+
+    trainer = _build(tmp_path, max_steps=2, ema_decay=0.999)
+    assert trainer.state.ema is not None
+    ema0 = jax.tree_util.tree_map(np.asarray, trainer.state.ema.params)
+    state = trainer.train(_flows(2, 8, 10))
+    assert int(state.ema.step) == 2
+    ema2 = jax.tree_util.tree_map(np.asarray, state.ema.params)
+    p2 = jax.tree_util.tree_map(np.asarray, state.params)
+    moved = any(not np.array_equal(a, b)
+                for a, b in zip(jax.tree_util.tree_leaves(ema0),
+                                jax.tree_util.tree_leaves(ema2)))
+    assert moved, "EMA params never updated"
+    distinct = any(not np.array_equal(a, b)
+                   for a, b in zip(jax.tree_util.tree_leaves(ema2),
+                                   jax.tree_util.tree_leaves(p2)))
+    assert distinct, "EMA params identical to raw params"
+
+    # the portable export carries the EMA weights, not the raw params
+    with ocp.StandardCheckpointer() as ckptr:
+        exported = ckptr.restore(
+            os.path.abspath(os.path.join(tmp_path, "checkpoint-2", "unwrapped_model")))
+    emb = exported["llm"]["embed"]["weight"]
+    np.testing.assert_array_equal(np.asarray(emb), ema2["llm"]["embed"]["weight"])
+
+    # resume restores the EMA stream bitwise and keeps advancing it
+    trainer2 = _build(tmp_path, max_steps=4, ema_decay=0.999)
+    assert trainer2.global_step == 2
+    got = jax.tree_util.tree_map(np.asarray, trainer2.state.ema.params)
+    jax.tree_util.tree_map(lambda a, b: np.testing.assert_array_equal(a, b),
+                           ema2, got)
+    state2 = trainer2.train(_flows(2, 8, 10))
+    assert int(state2.ema.step) == 4
 
 
 def test_trainer_llava_und_type(tmp_path):

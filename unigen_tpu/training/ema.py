@@ -31,7 +31,10 @@ class EMAConfig:
 
 
 def ema_init(params: PyTree) -> EMAState:
-    return EMAState(jax.tree_util.tree_map(jnp.asarray, params), jnp.zeros((), jnp.int32))
+    # real copies, not aliases: the EMA tree lives in a donated TrainState next
+    # to the params tree, and donation rejects the same buffer appearing twice
+    return EMAState(jax.tree_util.tree_map(lambda p: jnp.asarray(p).copy(), params),
+                    jnp.zeros((), jnp.int32))
 
 
 def ema_decay_at(cfg: EMAConfig, step) -> jnp.ndarray:

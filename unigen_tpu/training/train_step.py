@@ -29,6 +29,7 @@ from ..models.unigen import UniGenConfig
 from ..ops import masking as MK
 from ..ops import masks as M
 from ..ops import sampling as S
+from .ema import EMAConfig, ema_init, ema_update
 
 Array = jax.Array
 PyTree = Any
@@ -38,6 +39,9 @@ class TrainState(NamedTuple):
     params: PyTree
     opt_state: Any
     step: Array
+    # EMAState when EMA is enabled (TrainerConfig.ema_decay > 0), else None.
+    # Part of the state pytree, so checkpoints carry and restore it natively.
+    ema: Any = None
 
 
 @dataclasses.dataclass(frozen=True)
@@ -64,8 +68,10 @@ class TrainStepConfig:
     memory_efficient_loss: bool = True  # chunked CE: no [B,L,160k] logits tensor
 
 
-def init_train_state(params: PyTree, tx: optax.GradientTransformation) -> TrainState:
-    return TrainState(params, tx.init(params), jnp.zeros((), jnp.int32))
+def init_train_state(params: PyTree, tx: optax.GradientTransformation,
+                     ema_cfg: Optional["EMAConfig"] = None) -> TrainState:
+    ema = ema_init(params) if ema_cfg is not None else None
+    return TrainState(params, tx.init(params), jnp.zeros((), jnp.int32), ema)
 
 
 def _splice(ids: Array, block: Array, start: int) -> Array:
@@ -77,8 +83,14 @@ def make_train_step(
     vq_cfg: magvit.MagvitConfig,
     tx: optax.GradientTransformation,
     tcfg: TrainStepConfig,
+    ema_cfg: Optional[EMAConfig] = None,
 ) -> Callable:
     """Build the jitted step: (state, vq_params, batch, key) -> (state, metrics).
+
+    With ``ema_cfg`` set, the step also advances an exponential moving average
+    of the params inside the same jitted program (state.ema, donated with the
+    rest of the TrainState). Live counterpart of the reference's shipped-but-
+    unused EMA class (reference models/training_utils.py:59-295).
 
     ``batch`` fields (all optional by configured batch sizes; equal seq length L):
       t2i_template  [Bt, L] int  — prompt with zeros in the image block
@@ -207,6 +219,8 @@ def make_train_step(
         metrics["grad_norm"] = optax.global_norm(grads)
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
-        return TrainState(new_params, new_opt, state.step + 1), metrics
+        new_ema = (ema_update(ema_cfg, state.ema, new_params)
+                   if ema_cfg is not None else state.ema)
+        return TrainState(new_params, new_opt, state.step + 1, new_ema), metrics
 
     return train_step

@@ -26,6 +26,7 @@ from ..models.unigen import UniGenConfig
 from ..prompting import UniPrompting
 from ..utils import checkpoint as CK
 from ..utils.logging import AverageMeter, MetricLogger, get_logger
+from .ema import EMAConfig
 from .train_step import TrainState, TrainStepConfig, init_train_state, make_train_step
 
 logger = get_logger(__name__)
@@ -43,6 +44,11 @@ class TrainerConfig:
     resume_from_checkpoint: Optional[str] = "latest"
     seed: int = 10084
     und_type: str = "captioning"     # 'captioning' (mmu task) | 'llava' (mmu_conv)
+    # >0 enables an in-step EMA of the params (reference ships an EMA class it
+    # never wires up, models/training_utils.py:59-295; here it is live). The
+    # portable `unwrapped_model` export then uses the EMA weights — the whole
+    # point of keeping them — while `state` keeps both for exact resume.
+    ema_decay: float = 0.0
 
 
 class Trainer:
@@ -65,11 +71,13 @@ class Trainer:
         self.vq_params = vq_params
         self.metrics = metric_logger or MetricLogger(trainer_cfg.output_dir)
         self.generate_callback = generate_callback
+        ema_cfg = (EMAConfig(decay=trainer_cfg.ema_decay)
+                   if trainer_cfg.ema_decay > 0 else None)
         # donate the TrainState: params/optimizer buffers update in place instead
         # of double-buffering (~2x the 12.4GB state for the 1.5B flagship)
-        self.step_fn = jax.jit(make_train_step(cfg, vq_cfg, tx, tcfg),
+        self.step_fn = jax.jit(make_train_step(cfg, vq_cfg, tx, tcfg, ema_cfg),
                                donate_argnums=(0,))
-        self.state = init_train_state(params, tx)
+        self.state = init_train_state(params, tx, ema_cfg)
         self.global_step = 0
         self._maybe_resume()
 
@@ -85,6 +93,13 @@ class Trainer:
             logger.info(f"Resuming from checkpoint {path}")
             self.state = CK.restore_checkpoint(path, self.state)
             self.global_step = CK.resume_step(path)
+
+    def _export_params(self):
+        """Portable-model weights: the EMA average when enabled, else the raw
+        params (stage handoff consumes `unwrapped_model`, reference
+        utils/checkpoint.py:48-59)."""
+        return (self.state.ema.params if self.state.ema is not None
+                else self.state.params)
 
     # -------------------------------------------------- host batch building --
 
@@ -196,7 +211,7 @@ class Trainer:
                 if jax.process_index() == 0:
                     CK.save_checkpoint(self.state, self.tr.output_dir, self.global_step,
                                        total_limit=self.tr.checkpoints_total_limit,
-                                       unwrapped_params=self.state.params)
+                                       unwrapped_params=self._export_params())
 
             if (self.generate_callback and self.tr.generate_every
                     and self.global_step % self.tr.generate_every == 0):
@@ -210,5 +225,5 @@ class Trainer:
         if jax.process_index() == 0:
             CK.save_checkpoint(self.state, self.tr.output_dir, self.global_step,
                                total_limit=self.tr.checkpoints_total_limit,
-                               unwrapped_params=self.state.params)
+                               unwrapped_params=self._export_params())
         return self.state
