@@ -264,6 +264,103 @@ def test_engine_occupancy_accounting(model):
     assert 0 < s.occupancy <= 1.0
 
 
+def test_engine_device_stop_long_chunk_no_overshoot(model):
+    """Round-5 device-side stop: with a chunk far longer than any budget, each
+    row must freeze ITSELF at its eot/budget (SlotState carries the stop
+    condition through the scan) — outputs exact, and the whole wave costs a
+    couple of host syncs instead of one per 8 tokens."""
+    cfg, params = model
+    prompts = _prompts(cfg, [5, 9, 7, 4], seed=31)
+    budgets = [3, 6, 5, 4]
+    ref0 = _reference_greedy(cfg, params, prompts[0], 6)
+    eot = ref0[1]  # fires for prompt 0 at its 2nd token
+    with ServingEngine(params, cfg, slots=4, max_len=64, buckets=(16,),
+                       chunk=24) as eng:
+        futs = [eng.submit(p, max_new_tokens=m, eot_token=eot)
+                for p, m in zip(prompts, budgets)]
+        got = [f.result(timeout=120) for f in futs]
+    for p, g, m in zip(prompts, got, budgets):
+        assert g == _reference_greedy(cfg, params, p, m, eot=eot)
+    assert got[0] == ref0[:2]
+    assert eng.stats.decode_chunks <= 3  # not ceil(6/chunk)*waves of tiny chunks
+
+
+def test_engine_adaptive_chunks_exact(model):
+    """Adaptive chunk schedule (chunk=(small..large)) must be token-identical
+    to a fixed-chunk engine: mixed budgets, a backlog deeper than the slots
+    (so freeing early matters), and eot stops landing mid-chunk."""
+    cfg, params = model
+    lens = [5, 8, 11, 4, 6, 9, 7, 5]
+    budgets = [2, 17, 5, 9, 3, 12, 1, 7]
+    prompts = _prompts(cfg, lens, seed=41)
+
+    def run(chunk):
+        with ServingEngine(params, cfg, slots=3, max_len=64, buckets=(16,),
+                           chunk=chunk) as eng:
+            futs = [eng.submit(p, max_new_tokens=m)
+                    for p, m in zip(prompts, budgets)]
+            return [f.result(timeout=180) for f in futs], eng.stats.decode_chunks
+
+    fixed, chunks_fixed = run(2)
+    adaptive, chunks_adaptive = run((2, 4, 8, 16))
+    assert adaptive == fixed
+    for p, g, m in zip(prompts, fixed, budgets):
+        assert g == _reference_greedy(cfg, params, p, m)
+    assert chunks_adaptive < chunks_fixed  # fewer host syncs is the point
+
+
+def test_engine_adaptive_speculative_exact(model):
+    """Adaptive chunks compose with speculative decoding: the per-row stop
+    must fire INSIDE an accepted block (the first eot/budget position within
+    the step's accepted tokens), matching the host-side break exactly."""
+    cfg, params = model
+    prompts = _prompts(cfg, [6, 10, 8], seed=51)
+    budgets = [9, 4, 13]
+
+    def run(chunk, spec):
+        with ServingEngine(params, cfg, slots=2, max_len=96, buckets=(16,),
+                           chunk=chunk, speculate_k=spec) as eng:
+            futs = [eng.submit(p, max_new_tokens=m)
+                    for p, m in zip(prompts, budgets)]
+            return [f.result(timeout=180) for f in futs]
+
+    assert run((2, 8), 3) == run(2, 0)
+
+
+def test_engine_latency_marks(model):
+    """GenerationResult records submit/first-token/done marks; ttft and itl
+    are positive and ordered (the raw material for the BENCH latency table)."""
+    cfg, params = model
+    with ServingEngine(params, cfg, slots=2, max_len=32, buckets=(8,),
+                       chunk=2) as eng:
+        fut = eng.submit(_prompts(cfg, [5], seed=61)[0], max_new_tokens=6)
+        fut.result(timeout=120)
+    assert fut.ttft is not None and fut.ttft > 0
+    assert fut.itl is not None and fut.itl >= 0
+    assert fut.done_t >= fut.first_token_t >= fut.submit_t
+
+
+def test_engine_cancel_deactivates_device_row(model):
+    """A cancelled occupant's device row must be frozen (active cleared) so it
+    stops mutating its cache row; the slot then serves the queue correctly."""
+    from unigen_tpu.serving import engine as E
+    cfg, params = model
+    prompts = _prompts(cfg, [6, 7], seed=71)
+    with ServingEngine(params, cfg, slots=1, max_len=64, buckets=(8,),
+                       chunk=2) as eng:
+        f0 = eng.submit(prompts[0], max_new_tokens=40)
+        next(iter([f0]))  # let it start
+        while f0.first_token_t is None:
+            pass
+        f0.cancel()
+        f1 = eng.submit(prompts[1], max_new_tokens=5)
+        got = f1.result(timeout=120)
+        with pytest.raises(Exception):
+            f0.result(timeout=120)
+    assert got == _reference_greedy(cfg, params, prompts[1], 5)
+    assert not bool(np.asarray(eng._state.active).any())
+
+
 def test_engine_tensor_parallel_matches_unsharded(model, eight_devices):
     """Scale-out: Megatron TP-sharded params through the UNCHANGED engine
     programs — GSPMD inserts the collectives; the continuous-batching

@@ -53,11 +53,14 @@ class UniGenLmmsAdapter:
     batch_size: int = 8                    # device batch for generate_until
     serving: bool = False                  # continuous batching via ServingEngine
     serving_slots: int = 16
-    serving_chunk: int = 8
+    # int pins every decode chunk; a sequence enables the engine's ADAPTIVE
+    # schedule (device-side per-row stop makes long chunks safe — engine.py)
+    serving_chunk: Any = 8
     serving_quantized_cache: bool = False
     serving_speculate_k: int = 0           # prompt-lookup speculative decode
     request_timeout: float = 3600.0
     last_stats: Optional[List[Any]] = None  # EngineStats per serving engine run
+    last_latency: Optional[Dict[str, float]] = None  # ttft/itl percentiles (s)
 
     def _prepare_image(self, images) -> np.ndarray:
         if isinstance(images, (list, tuple)):
@@ -277,6 +280,7 @@ class UniGenLmmsAdapter:
                 results = {i: f.result(timeout=self.request_timeout)
                            for i, f in futs.items()}
                 self.last_stats.append(eng.stats)
+                self._record_latency(futs.values())
             for i, toks in results.items():
                 text = pipe.decode_text(np.asarray([toks], np.int64))[0]
                 for stop in requests[i][1].get("until", []) or []:
@@ -284,6 +288,17 @@ class UniGenLmmsAdapter:
                         text = text.split(stop)[0]
                 out[i] = text
         return out
+
+    def _record_latency(self, futures) -> None:
+        """Aggregate client-observed TTFT / inter-token-latency percentiles
+        over one engine run (the BENCH.md serving latency table's source)."""
+        ttft = sorted(f.ttft for f in futures if f.ttft is not None)
+        itl = sorted(f.itl for f in futures if f.itl is not None)
+        pct = lambda xs, q: xs[min(len(xs) - 1, int(q * (len(xs) - 1)))] if xs else float("nan")
+        self.last_latency = {
+            "ttft_p50_s": pct(ttft, 0.50), "ttft_p99_s": pct(ttft, 0.99),
+            "itl_p50_s": pct(itl, 0.50), "itl_p99_s": pct(itl, 0.99),
+            "n": len(ttft)}
 
     def loglikelihood(self, requests) -> List[Tuple[float, bool]]:
         """[(context, continuation, images)] -> [(sum logprob, is_greedy)].

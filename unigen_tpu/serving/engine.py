@@ -40,7 +40,8 @@ import queue
 import threading
 from concurrent.futures import CancelledError
 from functools import partial
-from typing import Any, List, Optional, Sequence, Tuple
+import time
+from typing import Any, List, NamedTuple, Optional, Sequence, Tuple, Union
 
 import jax
 import jax.numpy as jnp
@@ -51,6 +52,36 @@ from ..models.unigen import UniGenConfig, embed_tokens
 from ..ops import sampling as S
 
 Array = jax.Array
+
+
+class SlotState(NamedTuple):
+    """Device-resident per-slot decode state ([slots]-shaped leaves).
+
+    Living on device lets the decode chunk STOP each row itself — at its eot
+    token or its token budget — so chunks can run tens of steps between host
+    syncs without overshooting any request (the round-4 engine synced every 8
+    tokens because only the host could see eot/budget; that sync was the
+    dominant serving cost, BENCH.md). Admission scatters a group's values in;
+    decode carries (last_tok, active, emitted) through its scan and freezes a
+    row the step its stop condition fires.
+    """
+    last_tok: Array   # i32 — next input token (sampled last step / at admit)
+    active: Array     # bool — row is decoding; cleared ON DEVICE at eot/budget
+    emitted: Array    # i32 — tokens emitted for the current occupant
+    budget: Array     # i32 — the occupant's max_new_tokens
+    eot: Array        # i32 — stop token id, -1 when none
+    temp: Array       # f32 — sampling temperature
+    seed: Array       # i32 — per-request RNG seed (see _row_keys)
+
+
+def init_slot_state(slots: int) -> SlotState:
+    return SlotState(last_tok=jnp.zeros((slots,), jnp.int32),
+                     active=jnp.zeros((slots,), bool),
+                     emitted=jnp.zeros((slots,), jnp.int32),
+                     budget=jnp.zeros((slots,), jnp.int32),
+                     eot=jnp.full((slots,), -1, jnp.int32),
+                     temp=jnp.zeros((slots,), jnp.float32),
+                     seed=jnp.zeros((slots,), jnp.int32))
 
 
 # ---------------------------------------------------------------------------
@@ -91,40 +122,69 @@ def _sample_rows(keys: Array, logits: Array, temp: Array, top_k: Optional[int]) 
 
 
 @partial(jax.jit, static_argnames=("cfg", "steps", "top_k"), donate_argnums=(1, 2))
-def _decode_chunk(params, cache: qwen2.KVCache, last_tok: Array, active: Array,
-                  temp: Array, row_seed: Array, *, cfg: UniGenConfig, steps: int,
-                  top_k: Optional[int]) -> Tuple[qwen2.KVCache, Array, Array]:
-    """`steps` decode steps over all B slots; returns (cache, last_tok, toks[B, steps]).
+def _decode_chunk(params, cache: qwen2.KVCache, state: SlotState, *,
+                  cfg: UniGenConfig, steps: int, top_k: Optional[int]
+                  ) -> Tuple[qwen2.KVCache, SlotState, Array]:
+    """`steps` decode steps over all B slots; returns (cache, state, toks[B, steps]).
 
     Each step emits its INPUT token (the one sampled last step / at admission),
     not its output — so the admit-time first token flows out through the next
     chunk and the host never blocks on an admission fetch (one device→host
     sync per chunk total; over the TPU relay a per-admit fetch costs a ~30ms
-    round trip, BENCH.md). Inactive rows are frozen: their index does not
-    advance and their sampled token is pinned to 0 until an admit resets them.
-    Sampling keys come from (row_seed, token position) — see ``_row_keys``.
+    round trip, BENCH.md). A row stops ITSELF the step it emits its eot token
+    or its budget-th token (mirroring the host harvest's break condition
+    exactly), so arbitrarily long chunks never overshoot a request. Frozen
+    rows do not advance their index and their sampled token is pinned to 0
+    until an admit resets them. Sampling keys come from (seed, token
+    position) — see ``_row_keys``.
     """
 
     def step(carry, _):
-        cache_c, tok = carry
+        cache_c, tok, act, emitted = carry
         emb = embed_tokens(params, tok[:, None])
         hidden, cache_n = qwen2.forward(params["llm"], cfg.llm, inputs_embeds=emb,
                                         cache=cache_c)
         lg = qwen2.logits(params["llm"], cfg.llm, hidden[:, 0]).astype(jnp.float32)
-        keys = _row_keys(row_seed, cache_c.index + 1)
-        nxt = jnp.where(active, _sample_rows(keys, lg, temp, top_k), 0)
+        keys = _row_keys(state.seed, cache_c.index + 1)
+        emitted_n = emitted + act.astype(jnp.int32)
+        stop = act & ((tok == state.eot) | (emitted_n >= state.budget))
+        act_n = act & ~stop
+        nxt = jnp.where(act_n, _sample_rows(keys, lg, state.temp, top_k), 0)
         cache_n = cache_n._replace(
-            index=jnp.where(active, cache_n.index, cache_c.index))
-        return (cache_n, nxt), tok
+            index=jnp.where(act, cache_n.index, cache_c.index))
+        return (cache_n, nxt, act_n, emitted_n), tok
 
-    (cache, last_tok), toks = jax.lax.scan(
-        step, (cache, last_tok), None, length=steps)
-    return cache, last_tok, jnp.moveaxis(toks, 0, 1)
+    (cache, last_tok, active, emitted), toks = jax.lax.scan(
+        step, (cache, state.last_tok, state.active, state.emitted), None,
+        length=steps)
+    state = state._replace(last_tok=last_tok, active=active, emitted=emitted)
+    return cache, state, jnp.moveaxis(toks, 0, 1)
 
 
-def _admit_core(params, cfg: UniGenConfig, cache: qwen2.KVCache, last_tok,
+def _state_install(state: SlotState, slots_idx, first, temp, row_seed, budget,
+                   eot) -> SlotState:
+    """Scatter a group's per-slot decode state (padding rows dropped)."""
+    return SlotState(
+        last_tok=state.last_tok.at[slots_idx].set(first, mode="drop"),
+        active=state.active.at[slots_idx].set(True, mode="drop"),
+        emitted=state.emitted.at[slots_idx].set(0, mode="drop"),
+        budget=state.budget.at[slots_idx].set(budget, mode="drop"),
+        eot=state.eot.at[slots_idx].set(eot, mode="drop"),
+        temp=state.temp.at[slots_idx].set(temp, mode="drop"),
+        seed=state.seed.at[slots_idx].set(row_seed, mode="drop"))
+
+
+@jax.jit
+def _state_deactivate(state: SlotState, slot: Array) -> SlotState:
+    """Clear a row's device-side active flag (cancelled request: the host
+    frees the slot but the row would otherwise keep decoding junk — and
+    advancing its cache index — until the next admission reuses it)."""
+    return state._replace(active=state.active.at[slot].set(False))
+
+
+def _admit_core(params, cfg: UniGenConfig, cache: qwen2.KVCache, state: SlotState,
                 slots_idx, inputs_embeds, attn_mask, prompt_len, temp,
-                row_seed, top_k):
+                row_seed, budget, eot, top_k):
     """Prefill K requests in ONE batched forward and install each into its
     slot row. ``slots_idx`` [K] int32; group-padding rows carry slot index
     == num_slots (out of bounds) and are dropped by the scatter installs
@@ -159,8 +219,8 @@ def _admit_core(params, cfg: UniGenConfig, cache: qwen2.KVCache, last_tok,
     index = cache.index.at[slots_idx].set(
         prompt_len.astype(cache.index.dtype), mode="drop")
     cache = qwen2.KVCache(index=index, **leaves)
-    last_tok = last_tok.at[slots_idx].set(first, mode="drop")
-    return cache, last_tok
+    state = _state_install(state, slots_idx, first, temp, row_seed, budget, eot)
+    return cache, state
 
 
 @partial(jax.jit, static_argnames=("cfg", "quantize"))
@@ -175,9 +235,9 @@ def _prefill_prefix(params, ids: Array, *, cfg: UniGenConfig, quantize: bool
 
 
 @partial(jax.jit, static_argnames=("cfg", "top_k"), donate_argnums=(1, 2))
-def _admit_ids_prefix(params, cache, last_tok, slots_idx, prefix, input_ids,
-                      prompt_len, temp, row_seed, *, cfg: UniGenConfig,
-                      top_k: Optional[int]):
+def _admit_ids_prefix(params, cache, state, slots_idx, prefix, input_ids,
+                      prompt_len, temp, row_seed, budget, eot, *,
+                      cfg: UniGenConfig, top_k: Optional[int]):
     """Batched admission with a shared-prefix KV splice: broadcast the
     precomputed prefix block to the K group rows, prefill ONLY the suffixes
     against it (cached append at positions P..P+l-1), then scatter the
@@ -228,8 +288,8 @@ def _admit_ids_prefix(params, cache, last_tok, slots_idx, prefix, input_ids,
     index = cache.index.at[slots_idx].set(
         (p + prompt_len).astype(cache.index.dtype), mode="drop")
     cache = qwen2.KVCache(index=index, **leaves)
-    last_tok = last_tok.at[slots_idx].set(first, mode="drop")
-    return cache, last_tok
+    state = _state_install(state, slots_idx, first, temp, row_seed, budget, eot)
+    return cache, state
 
 
 def _draft_lookup(ctx: Array, ctx_start: Array, idx: Array, tok: Array,
@@ -263,11 +323,10 @@ def _draft_lookup(ctx: Array, ctx_start: Array, idx: Array, tok: Array,
 
 @partial(jax.jit, static_argnames=("cfg", "steps", "k", "top_k"),
          donate_argnums=(1, 2, 3))
-def _spec_decode_chunk(params, cache: qwen2.KVCache, last_tok: Array, ctx: Array,
-                       ctx_start: Array, active: Array, temp: Array,
-                       row_seed: Array, *, cfg: UniGenConfig, steps: int, k: int,
+def _spec_decode_chunk(params, cache: qwen2.KVCache, state: SlotState, ctx: Array,
+                       ctx_start: Array, *, cfg: UniGenConfig, steps: int, k: int,
                        top_k: Optional[int]
-                       ) -> Tuple[qwen2.KVCache, Array, Array, Array, Array]:
+                       ) -> Tuple[qwen2.KVCache, SlotState, Array, Array, Array]:
     """``steps`` speculative decode steps; each step verifies a ``k``-token
     prompt-lookup draft in one (k+1)-wide cached forward and advances every
     row by its accepted count (1..k+1 tokens — the per-row cache index makes
@@ -287,7 +346,7 @@ def _spec_decode_chunk(params, cache: qwen2.KVCache, last_tok: Array, ctx: Array
     """
 
     def step(carry, _):
-        cache_c, tok, ctx_c = carry
+        cache_c, tok, ctx_c, act, emitted = carry
         idx = cache_c.index
         prop = _draft_lookup(ctx_c, ctx_start, idx, tok, k)
         inputs = jnp.concatenate([tok[:, None], prop], axis=1)       # [B, k+1]
@@ -297,26 +356,42 @@ def _spec_decode_chunk(params, cache: qwen2.KVCache, last_tok: Array, ctx: Array
         lg = qwen2.logits(params["llm"], cfg.llm, hidden).astype(jnp.float32)
         # sampled rows advance one position per step (acc pinned to 1), so the
         # (seed, position) key matches the plain path exactly
-        g0 = _sample_rows(_row_keys(row_seed, idx + 1), lg[:, 0], temp, top_k)
+        g0 = _sample_rows(_row_keys(state.seed, idx + 1), lg[:, 0], state.temp,
+                          top_k)
         g = jnp.concatenate([g0[:, None], jnp.argmax(lg[:, 1:], axis=-1)], axis=1)
         ok = jnp.cumprod((prop == g[:, :k]).astype(jnp.int32), axis=1)
-        acc = jnp.where(active & (temp == 0.0),
+        acc = jnp.where(act & (state.temp == 0.0),
                         1 + ok.sum(axis=1), 1).astype(jnp.int32)
         emit = jnp.concatenate([tok[:, None], g[:, :k]], axis=1)     # [B, k+1]
+        # device-side stop: within this step's accepted block, find the first
+        # position that is the row's eot or its budget-th emission — the same
+        # break the host harvest applies, so streams stay identical
+        jpos = jnp.arange(k + 1)
+        within = jpos[None, :] < acc[:, None]
+        stop_j = within & ((emit == state.eot[:, None])
+                           | (emitted[:, None] + jpos[None, :] + 1
+                              >= state.budget[:, None]))
+        anystop = act & stop_j.any(axis=1)
+        valid = jnp.where(anystop, jnp.argmax(stop_j, axis=1) + 1,
+                          jnp.where(act, acc, 0))
+        emitted_n = emitted + valid
+        act_n = act & ~anystop
         new_tok = jnp.where(
-            active, jnp.take_along_axis(g, (acc - 1)[:, None], axis=1)[:, 0], 0)
+            act_n, jnp.take_along_axis(g, (acc - 1)[:, None], axis=1)[:, 0], 0)
         # accepted tokens extend the context buffer at positions idx..idx+k
         # (over-writes past the accepted count are stale, never matched: the
         # draft only reads below the row's index)
         def wr(row, chunk_, i):
             return jax.lax.dynamic_update_slice(row, chunk_, (i,))
         ctx_n = jax.vmap(wr)(ctx_c, emit.astype(ctx_c.dtype), idx)
-        cache_n = cache_n._replace(index=jnp.where(active, idx + acc, idx))
-        return (cache_n, new_tok, ctx_n), (emit, acc)
+        cache_n = cache_n._replace(index=jnp.where(act, idx + acc, idx))
+        return (cache_n, new_tok, ctx_n, act_n, emitted_n), (emit, acc)
 
-    (cache, last_tok, ctx), (toks, counts) = jax.lax.scan(
-        step, (cache, last_tok, ctx), None, length=steps)
-    return (cache, last_tok, ctx,
+    (cache, last_tok, ctx, active, emitted), (toks, counts) = jax.lax.scan(
+        step, (cache, state.last_tok, ctx, state.active, state.emitted), None,
+        length=steps)
+    state = state._replace(last_tok=last_tok, active=active, emitted=emitted)
+    return (cache, state, ctx,
             jnp.moveaxis(toks, 0, 1), jnp.moveaxis(counts, 0, 1))
 
 
@@ -329,8 +404,8 @@ def _ctx_install(ctx: Array, slots_idx: Array, rows: Array) -> Array:
 
 
 @partial(jax.jit, static_argnames=("cfg", "top_k"), donate_argnums=(1, 2))
-def _admit_ids(params, cache, last_tok, slots_idx, input_ids, prompt_len, temp,
-               row_seed, *, cfg: UniGenConfig, top_k: Optional[int]):
+def _admit_ids(params, cache, state, slots_idx, input_ids, prompt_len, temp,
+               row_seed, budget, eot, *, cfg: UniGenConfig, top_k: Optional[int]):
     """Batched text-prompt admission: K rows' embeds + causal/pad masks built
     in-program, one prefill forward, scatter installs into the slot rows."""
     l = input_ids.shape[1]
@@ -339,18 +414,18 @@ def _admit_ids(params, cache, last_tok, slots_idx, input_ids, prompt_len, temp,
     mask = ((pos[:, None] >= pos[None, :])[None, None]
             & keep[:, None, None, :] & keep[:, None, :, None])
     emb = embed_tokens(params, input_ids)
-    return _admit_core(params, cfg, cache, last_tok, slots_idx, emb, mask,
-                       prompt_len, temp, row_seed, top_k)
+    return _admit_core(params, cfg, cache, state, slots_idx, emb, mask,
+                       prompt_len, temp, row_seed, budget, eot, top_k)
 
 
 @partial(jax.jit, static_argnames=("cfg", "top_k"), donate_argnums=(1, 2))
-def _admit_embeds(params, cache, last_tok, slots_idx, inputs_embeds, attn_mask,
-                  prompt_len, temp, row_seed, *, cfg: UniGenConfig,
-                  top_k: Optional[int]):
+def _admit_embeds(params, cache, state, slots_idx, inputs_embeds, attn_mask,
+                  prompt_len, temp, row_seed, budget, eot, *,
+                  cfg: UniGenConfig, top_k: Optional[int]):
     """Batched continuous-prompt admission (VQA: spliced vision embeddings +
     omni masks)."""
-    return _admit_core(params, cfg, cache, last_tok, slots_idx, inputs_embeds,
-                       attn_mask, prompt_len, temp, row_seed, top_k)
+    return _admit_core(params, cfg, cache, state, slots_idx, inputs_embeds,
+                       attn_mask, prompt_len, temp, row_seed, budget, eot, top_k)
 
 
 # ---------------------------------------------------------------------------
@@ -371,6 +446,26 @@ class GenerationResult:
         self._error: Optional[BaseException] = None
         self._cancelled = False
         self._stream_q: "queue.Queue[Optional[int]]" = queue.Queue()
+        # client-observed latency marks (perf_counter seconds): set at submit,
+        # at the harvest that delivers the first token, and at resolution —
+        # the raw material for TTFT / inter-token-latency percentiles
+        self.submit_t: float = time.perf_counter()
+        self.first_token_t: Optional[float] = None
+        self.done_t: Optional[float] = None
+
+    @property
+    def ttft(self) -> Optional[float]:
+        """Client-observed time-to-first-token (seconds), once available."""
+        if self.first_token_t is None:
+            return None
+        return self.first_token_t - self.submit_t
+
+    @property
+    def itl(self) -> Optional[float]:
+        """Mean inter-token latency over the request (seconds/token)."""
+        if self.done_t is None or self._tokens is None or len(self._tokens) < 2:
+            return None
+        return (self.done_t - self.first_token_t) / (len(self._tokens) - 1)
 
     def cancel(self) -> None:
         """Request cancellation (client disconnect): the scheduler frees the
@@ -379,10 +474,13 @@ class GenerationResult:
         self._cancelled = True
 
     def _push(self, token: int) -> None:
+        if self.first_token_t is None:
+            self.first_token_t = time.perf_counter()
         self._stream_q.put(token)
 
     def _resolve(self, tokens: List[int]) -> None:
         self._tokens = tokens
+        self.done_t = time.perf_counter()
         self._event.set()
         self._stream_q.put(None)
 
@@ -481,11 +579,12 @@ class ServingEngine:
 
     def __init__(self, params, cfg: UniGenConfig, *, slots: int = 8,
                  max_len: int = 1024, buckets: Sequence[int] = (64, 128, 256, 512),
-                 chunk: int = 8, top_k: Optional[int] = None,
+                 chunk: Union[int, Sequence[int]] = 8,
+                 top_k: Optional[int] = None,
                  quantized_cache: bool = False, pad_id: int = 0, seed: int = 0,
                  speculate_k: int = 0,
                  prefix_ids: Optional[Sequence[int]] = None,
-                 decode_params=None):
+                 decode_params=None, admit_cap: Optional[int] = None):
         if max(buckets) > max_len:
             raise ValueError(f"bucket {max(buckets)} exceeds max_len {max_len}")
         self.params = params
@@ -499,7 +598,17 @@ class ServingEngine:
         self.slots = slots
         self.max_len = max_len
         self.buckets = tuple(sorted(buckets))
-        self.chunk = chunk
+        # decode-chunk length(s): a single int pins every chunk (the round-4
+        # behavior — lowest TTFT under sparse arrivals); a sequence enables
+        # ADAPTIVE chunks: the scheduler picks the longest allowed length that
+        # no active row provably outlives (rows stop themselves on device, so
+        # long chunks never overshoot), cutting host syncs by up to
+        # max(chunk)/min(chunk) on budget-heavy workloads (BENCH.md serving)
+        self.chunks = tuple(sorted({int(c) for c in (
+            (chunk,) if isinstance(chunk, int) else tuple(chunk))}))
+        if self.chunks[0] < 1:
+            raise ValueError(f"chunk lengths must be >= 1, got {self.chunks}")
+        self.chunk = self.chunks[0]
         self.top_k = top_k
         self.pad_id = pad_id
         self.speculate_k = speculate_k
@@ -528,16 +637,23 @@ class ServingEngine:
             # per-slot token history for the on-device prompt-lookup draft
             self._ctx = jnp.zeros((slots, max_len), jnp.int32)
             self._ctx_start = np.zeros((slots,), np.int32)
-        self._last_tok = jnp.zeros((slots,), jnp.int32)
+        # device-resident per-slot decode state (active/eot/budget/... —
+        # rows stop themselves, see SlotState); _active mirrors the HOST's
+        # conservative view: set at admit, cleared when a harvest resolves
+        # the occupant, and only used for scheduling decisions
+        self._state = init_slot_state(slots)
         self._seed = seed
-        self._row_seed = np.zeros((slots,), np.int32)
-        self._temp = np.zeros((slots,), np.float32)
         self._active = np.zeros((slots,), bool)
         self._slot_req: List[Optional[_Request]] = [None] * slots
+        # steps + slot set of the dispatched-but-unharvested chunk (at most
+        # one, the one-deep pipeline) — makes the scheduler's per-row
+        # remaining-budget estimate a true upper bound
+        self._unharvested: Optional[Tuple[int, frozenset]] = None
 
         # batched-admission group cap: K same-signature pending requests cost
         # one prefill dispatch; power-of-two padding bounds compile variants
-        self._admit_cap = max(1, min(8, slots))
+        self._admit_cap = max(1, min(slots, 16 if admit_cap is None
+                                     else admit_cap))
         self._rid = itertools.count()
         self._queue: "queue.Queue[Optional[_Request]]" = queue.Queue()
         self._pending: List[_Request] = []
@@ -760,18 +876,22 @@ class ServingEngine:
         temp = jnp.asarray([r.temperature for r in group] + [0.0] * pad,
                            jnp.float32)
         rseed = jnp.asarray([r.seed for r in group] + [0] * pad, jnp.int32)
+        budget = jnp.asarray([r.max_new_tokens for r in group] + [0] * pad,
+                             jnp.int32)
+        eot = jnp.asarray([-1 if r.eot_token is None else r.eot_token
+                           for r in group] + [-1] * pad, jnp.int32)
         if group[0].input_ids is not None:
             ids = np.concatenate([r.input_ids for r in group]
                                  + [group[0].input_ids] * pad, axis=0)
             if self._prefix is not None:
-                self._cache, self._last_tok = _admit_ids_prefix(
-                    self.params, self._cache, self._last_tok, slots_idx,
-                    self._prefix, jnp.asarray(ids), plen, temp, rseed,
-                    cfg=self.cfg, top_k=self.top_k)
+                self._cache, self._state = _admit_ids_prefix(
+                    self.params, self._cache, self._state, slots_idx,
+                    self._prefix, jnp.asarray(ids), plen, temp, rseed, budget,
+                    eot, cfg=self.cfg, top_k=self.top_k)
             else:
-                self._cache, self._last_tok = _admit_ids(
-                    self.params, self._cache, self._last_tok, slots_idx,
-                    jnp.asarray(ids), plen, temp, rseed,
+                self._cache, self._state = _admit_ids(
+                    self.params, self._cache, self._state, slots_idx,
+                    jnp.asarray(ids), plen, temp, rseed, budget, eot,
                     cfg=self.cfg, top_k=self.top_k)
         else:
             # embeds may be device-resident (prefill/decode overlap) — concat
@@ -782,10 +902,10 @@ class ServingEngine:
                 [jnp.asarray(e) for e in embs], axis=0)
             msk = msks[0] if kpad == 1 else jnp.concatenate(
                 [jnp.asarray(m) for m in msks], axis=0)
-            self._cache, self._last_tok = _admit_embeds(
-                self.params, self._cache, self._last_tok, slots_idx,
-                jnp.asarray(emb), jnp.asarray(msk), plen, temp, rseed,
-                cfg=self.cfg, top_k=self.top_k)
+            self._cache, self._state = _admit_embeds(
+                self.params, self._cache, self._state, slots_idx,
+                jnp.asarray(emb), jnp.asarray(msk), plen, temp, rseed, budget,
+                eot, cfg=self.cfg, top_k=self.top_k)
         if self.speculate_k > 0:
             rows = []
             for slot, req in zip(slots_used, group):
@@ -807,45 +927,76 @@ class ServingEngine:
                 jnp.asarray(np.concatenate(rows + [rows[0]] * pad, axis=0),
                             jnp.int32))
         for slot, req in zip(slots_used, group):
-            self._row_seed[slot] = req.seed
             # no host fetch here: the request's first token (sampled in the
             # admit program) arrives through the next decode chunk's outputs
             self._slot_req[slot] = req
             self._active[slot] = True
-            self._temp[slot] = req.temperature
+
+    def _pick_steps(self) -> Optional[int]:
+        """Choose the next chunk length from ``self.chunks``.
+
+        Per active slot, ``budget - len(tokens) - unharvested steps`` is an
+        UPPER bound on tokens it still needs (emission is exactly one per
+        active step, and eot only stops rows earlier). If every bound is <= 0
+        all occupants provably finish inside the in-flight chunk — dispatching
+        would burn a whole chunk on frozen rows, so skip (the loop harvests,
+        frees, admits, then dispatches). Otherwise run the longest chunk no
+        soon-to-finish row outlives: when requests are WAITING, that is the
+        earliest active finish (frees its slot at the first possible harvest);
+        when the queue is empty, the latest one (nothing to admit — minimize
+        syncs).
+        """
+        pend_steps, pend_slots = self._unharvested or (0, frozenset())
+        rem = []
+        for slot in range(self.slots):
+            req = self._slot_req[slot]
+            if req is None or not self._active[slot]:
+                continue
+            rem.append(req.max_new_tokens - len(req.tokens)
+                       - (pend_steps if slot in pend_slots else 0))
+        if not rem:
+            return None
+        positive = [r for r in rem if r > 0]
+        if not positive:
+            return None
+        target = min(positive) if self._pending else max(positive)
+        return max(c for c in self.chunks if c <= max(target, self.chunks[0]))
 
     def _dispatch_chunk(self):
         """Async-dispatch one decode chunk; returns (slot_req snapshot,
-        device toks, host-or-device counts) for a later ``_harvest``. The
-        cache/last_tok handles advance immediately (futures), so admissions
-        and the next chunk queue behind this one on device with no host
-        sync."""
-        rseed = jnp.asarray(self._row_seed)
+        device toks, host-or-device counts) for a later ``_harvest``, or None
+        when every occupant provably finishes in the in-flight chunk. The
+        cache/state handles advance immediately (futures), so admissions and
+        the next chunk queue behind this one on device with no host sync."""
+        steps = self._pick_steps()
+        if steps is None:
+            return None
         if self.speculate_k > 0:
-            (self._cache, self._last_tok, self._ctx, toks,
+            (self._cache, self._state, self._ctx, toks,
              counts) = _spec_decode_chunk(
-                self.decode_params, self._cache, self._last_tok, self._ctx,
-                jnp.asarray(self._ctx_start), jnp.asarray(self._active),
-                jnp.asarray(self._temp), rseed, cfg=self.cfg, steps=self.chunk,
+                self.decode_params, self._cache, self._state, self._ctx,
+                jnp.asarray(self._ctx_start), cfg=self.cfg, steps=steps,
                 k=self.speculate_k, top_k=self.top_k)
         else:
-            self._cache, self._last_tok, toks = _decode_chunk(
-                self.decode_params, self._cache, self._last_tok,
-                jnp.asarray(self._active), jnp.asarray(self._temp), rseed,
-                cfg=self.cfg, steps=self.chunk, top_k=self.top_k)
+            self._cache, self._state, toks = _decode_chunk(
+                self.decode_params, self._cache, self._state,
+                cfg=self.cfg, steps=steps, top_k=self.top_k)
             counts = None
         self.stats.decode_chunks += 1
-        self.stats.slot_steps += self.slots * self.chunk
-        self.stats.busy_steps += int(self._active.sum()) * self.chunk
+        self.stats.slot_steps += self.slots * steps
+        self.stats.busy_steps += int(self._active.sum()) * steps
+        self._unharvested = (steps, frozenset(
+            s for s in range(self.slots) if self._active[s]))
         return list(self._slot_req), toks, counts
 
     def _harvest(self, snapshot, toks, counts) -> None:
         # one fetch per chunk either way (toks [B, steps, k+1] + counts) —
         # the only host sync on the decode path
+        self._unharvested = None
         if counts is not None:
             toks, counts = np.asarray(toks), np.asarray(counts)
         else:
-            toks = np.asarray(toks)[:, :, None]  # [B, chunk, 1]
+            toks = np.asarray(toks)[:, :, None]  # [B, steps, 1]
             counts = np.ones(toks.shape[:2], np.int32)
         for slot in range(self.slots):
             req = snapshot[slot]
@@ -861,8 +1012,12 @@ class ServingEngine:
                 req.future._fail(CancelledError(f"request {req.rid} cancelled"))
                 self._slot_req[slot] = None
                 self._active[slot] = False
+                # finished rows freeze themselves on device; a CANCELLED row
+                # doesn't know it — clear its device flag too
+                self._state = _state_deactivate(self._state,
+                                                jnp.int32(slot))
                 continue
-            accepted = [t for s in range(self.chunk)
+            accepted = [t for s in range(toks.shape[1])
                         for t in toks[slot, s, :counts[slot, s]]]
             for t in accepted:
                 req.tokens.append(int(t))
