@@ -384,7 +384,7 @@ def bench_vqa(batch_size: int = 8, prompt_len: int = 600, max_new_tokens: int = 
 
 def bench_lmms(batch_sizes=(8, 16, 32), n_requests: int = 64,
                max_new_tokens: int = 64, quant: str = "int8", slots: int = 16,
-               tiny: bool = False, serving: bool = True):
+               tiny: bool = False, serving: bool = True, chunk=(8, 16, 32, 64)):
     """lmms-eval adapter END-TO-END throughput: PIL images -> siglip_preprocess
     -> SigLIP tower -> MM projector -> prompt splice -> continuous-batching
     prefix-LM decode -> detokenize (the full generate_until protocol the
@@ -432,11 +432,20 @@ def bench_lmms(batch_sizes=(8, 16, 32), n_requests: int = 64,
     for bs in batch_sizes:
         adapter = UniGenLmmsAdapter(
             pipe, serving=serving, batch_size=bs, max_new_tokens=max_new_tokens,
-            serving_slots=slots, serving_chunk=8,
+            serving_slots=slots, serving_chunk=chunk,
             serving_quantized_cache=(quant == "int8" and not tiny))
         with _Watchdog(2400):
             t0 = time.perf_counter()
-            adapter.generate_until(make_requests(min(4, n_requests), seed_off=1))
+            # warm with a FULL slot wave: admission programs compile per
+            # (bucket, group-size) signature, so a tiny warmup leaves the
+            # real wave's admit compile inside the measurement (~4s on the
+            # relay — the r5 debug timeline caught exactly this)
+            # max(slots, bs): covers the wave-sized admission group AND the
+            # measurement's vision-tower pixel batch (serving mode does not
+            # pad partial pixel chunks, so a small warmup compiles a
+            # different tower batch than the run uses)
+            warm_n = min(max(slots, bs) if serving else 4, n_requests)
+            adapter.generate_until(make_requests(warm_n, seed_off=1))
             print(f"[bench] lmms bs={bs} compile+warmup: "
                   f"{time.perf_counter() - t0:.1f}s", file=sys.stderr)
         with _Watchdog(1800):
@@ -451,6 +460,18 @@ def bench_lmms(batch_sizes=(8, 16, 32), n_requests: int = 64,
         results.append((bs, tps, n_requests / dt))
         print(f"[bench] lmms bs={bs}: {dt:.2f}s, {toks} tokens, "
               f"{tps:.0f} tok/s, {n_requests / dt:.1f} req/s", file=sys.stderr)
+        if serving and adapter.last_latency:
+            lat = adapter.last_latency
+            print(f"[bench] lmms bs={bs} latency: "
+                  f"ttft p50={lat['ttft_p50_s']*1e3:.0f}ms "
+                  f"p99={lat['ttft_p99_s']*1e3:.0f}ms, "
+                  f"itl p50={lat['itl_p50_s']*1e3:.1f}ms "
+                  f"p99={lat['itl_p99_s']*1e3:.1f}ms", file=sys.stderr)
+            for s in adapter.last_stats:
+                print(f"[bench] lmms bs={bs} loop: chunks={s.decode_chunks} "
+                      f"drain={s.t_drain:.2f}s admit={s.t_admit:.2f}s "
+                      f"dispatch={s.t_dispatch:.2f}s harvest={s.t_harvest:.2f}s "
+                      f"occupancy={s.occupancy:.2f}", file=sys.stderr)
     best = max(results, key=lambda r: r[1])
     mode = "serving" if serving else "static"
     print(json.dumps({
@@ -720,6 +741,57 @@ def bench_profile(stage: str = "sampler", trace_root: str = "/tmp/unigen_traces"
                             lambda x: np.asarray(x[:, ::64, ::64, 0]))
         flops = _flops_of(step, vq, px)
         unit_note = f"{b} enc+dec / {wall:.3f}s = {b / wall:.1f} img/s"
+    elif stage == "engine":
+        # the ServingEngine's OWN decode-chunk program (per-row cache index +
+        # SlotState device stop) at serving shapes — vs the 'vqa' stage's
+        # static uniform-index decode, this isolates what continuous batching
+        # pays per step (r5: engine ~2x the static per-step cost at batch 32)
+        from unigen_tpu.models import unigen, qwen2
+        from unigen_tpu.ops.quantization import quantize_unigen_params
+        from unigen_tpu.serving.engine import (_decode_chunk, init_slot_state,
+                                               SlotState)
+        cfg = (unigen.UniGenConfig.tiny() if tiny
+               else unigen.UniGenConfig.for_qwen25_15b())
+        params = jax.jit(lambda k: unigen.init(k, cfg))(jax.random.key(0))
+        if not tiny:
+            params = jax.jit(
+                lambda p: quantize_unigen_params(p, cfg, lm_head=True))(params)
+        b, seq, steps_n = (2, 24, 4) if tiny else (32, 864, 16)
+        cache = qwen2.init_kv_cache(cfg.llm, b, seq, quantize=not tiny,
+                                    per_row_index=True)
+        # rows mid-decode at staggered positions, all active
+        idx = rng.integers(seq // 2, seq - steps_n - 1, size=(b,))
+        mean_idx = float(idx.mean())
+        cache = cache._replace(index=jnp.asarray(idx, jnp.int32))
+        state = SlotState(
+            last_tok=jnp.asarray(rng.integers(3, 100, size=(b,)), jnp.int32),
+            active=jnp.ones((b,), bool),
+            emitted=jnp.zeros((b,), jnp.int32),
+            budget=jnp.full((b,), 10_000, jnp.int32),
+            eot=jnp.full((b,), -1, jnp.int32),
+            temp=jnp.zeros((b,), jnp.float32),
+            seed=jnp.arange(b, dtype=jnp.int32))
+
+        def fn(cache, state):
+            return _decode_chunk(params, cache, state, cfg=cfg, steps=steps_n,
+                                 top_k=None)
+
+        # donation consumes cache/state; re-feed the returned handles
+        holder = {"c": cache, "s": state}
+
+        def step():
+            c, s, toks = fn(holder["c"], holder["s"])
+            holder["c"], holder["s"] = c, s
+            return toks
+
+        with _Watchdog(2400):
+            wall = _measure(step, lambda x: np.asarray(x))
+        wall /= steps_n  # per decode step
+        llm = cfg.llm
+        flops = b * (_backbone_flops_per_token(llm, mean_idx)
+                     + 2 * llm.hidden_size * cfg.vocab_size)
+        unit_note = (f"{b} slots x {steps_n} steps; {wall * 1e3:.2f} ms/step = "
+                     f"{b / wall:.0f} tok/s")
     elif stage in ("train", "train-sft", "train-dpo"):
         # reuse the full bench_train harness (its own JSON line reports
         # samples/s); BENCH_TRACE_DIR makes it trace one mid-run step
@@ -1154,9 +1226,14 @@ if __name__ == "__main__":
         bench_tokenizer(batch_size=int(args[1]) if len(args) > 1 else 16)
     elif args and args[0] == "lmms":
         nums = [int(a) for a in args[1:] if a.isdigit()]
+        ch = next((int(a[5:]) for a in args
+                   if a.startswith("chunk") and a[5:].isdigit()), None)
+        sl = next((int(a[5:]) for a in args
+                   if a.startswith("slots") and a[5:].isdigit()), 16)
         bench_lmms(batch_sizes=tuple(nums) or (8, 16, 32),
                    quant="bf16" if "bf16" in args else "int8",
-                   tiny="tiny" in args, serving="static" not in args)
+                   tiny="tiny" in args, serving="static" not in args,
+                   chunk=ch if ch else (8, 16, 32, 64), slots=sl)
     elif args and args[0] == "serve":
         nums = [a for a in args[1:] if a.isdigit()]
         q = next((a for a in args

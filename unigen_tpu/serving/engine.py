@@ -36,7 +36,9 @@ from __future__ import annotations
 
 import dataclasses
 import itertools
+import os
 import queue
+import sys
 import threading
 from concurrent.futures import CancelledError
 from functools import partial
@@ -52,6 +54,9 @@ from ..models.unigen import UniGenConfig, embed_tokens
 from ..ops import sampling as S
 
 Array = jax.Array
+
+# per-call admit/harvest timing to stderr (perf forensics only)
+_DEBUG = os.environ.get("UNIGEN_ENGINE_DEBUG", "") == "1"
 
 
 class SlotState(NamedTuple):
@@ -546,6 +551,13 @@ class EngineStats:
     decode_chunks: int = 0
     slot_steps: int = 0
     busy_steps: int = 0
+    # scheduler-loop wall-time breakdown (seconds): where a serving run's time
+    # actually goes — dispatch enqueues device work (async), harvest blocks on
+    # the chunk fetch, admit builds+dispatches prefill programs
+    t_dispatch: float = 0.0
+    t_harvest: float = 0.0
+    t_admit: float = 0.0
+    t_drain: float = 0.0
 
     @property
     def occupancy(self) -> float:
@@ -795,14 +807,23 @@ class ServingEngine:
                         and not self._pending)
                 if idle and self._closing:
                     return
+                t0 = time.perf_counter()
                 self._drain_queue(block=idle)
+                t1 = time.perf_counter()
                 if (inflight is None and self._closing and not self._pending
                         and not self._active.any()):
                     return
                 self._admit_pending()
+                t2 = time.perf_counter()
                 nxt = self._dispatch_chunk() if self._active.any() else None
+                t3 = time.perf_counter()
                 if inflight is not None:
                     self._harvest(*inflight)
+                t4 = time.perf_counter()
+                self.stats.t_drain += t1 - t0
+                self.stats.t_admit += t2 - t1
+                self.stats.t_dispatch += t3 - t2
+                self.stats.t_harvest += t4 - t3
                 inflight = nxt
         except BaseException as e:  # resolve all futures so callers unblock
             self._closing = True     # reject new submissions: no thread serves them
@@ -867,6 +888,7 @@ class ServingEngine:
         # stays at log2(cap) per signature; pad rows duplicate row 0 (NaN-free
         # junk) and target slot index == self.slots, which every scatter
         # install drops (mode="drop")
+        _t0 = time.perf_counter() if _DEBUG else 0.0
         k = len(group)
         kpad = 1 << (k - 1).bit_length()
         pad = kpad - k
@@ -931,6 +953,9 @@ class ServingEngine:
             # admit program) arrives through the next decode chunk's outputs
             self._slot_req[slot] = req
             self._active[slot] = True
+        if _DEBUG:
+            print(f"[engine] admit k={k} pad={pad} "
+                  f"{(time.perf_counter() - _t0) * 1e3:.1f}ms", file=sys.stderr)
 
     def _pick_steps(self) -> Optional[int]:
         """Choose the next chunk length from ``self.chunks``.
@@ -992,6 +1017,7 @@ class ServingEngine:
     def _harvest(self, snapshot, toks, counts) -> None:
         # one fetch per chunk either way (toks [B, steps, k+1] + counts) —
         # the only host sync on the decode path
+        _t0 = time.perf_counter() if _DEBUG else 0.0
         self._unharvested = None
         if counts is not None:
             toks, counts = np.asarray(toks), np.asarray(counts)
@@ -1029,6 +1055,9 @@ class ServingEngine:
             if self._finish_if_done(req):
                 self._slot_req[slot] = None
                 self._active[slot] = False
+        if _DEBUG:
+            print(f"[engine] harvest steps={toks.shape[1]} "
+                  f"{(time.perf_counter() - _t0) * 1e3:.1f}ms", file=sys.stderr)
 
     def _finish_if_done(self, req: _Request) -> bool:
         done = len(req.tokens) >= req.max_new_tokens or (
