@@ -587,11 +587,94 @@ def bench_serve(slots: int = 32, n_requests: int = 96, prompt_len: int = 600,
               file=sys.stderr)
         return dt
 
+    def run_latency(static: bool, arrival_s: float):
+        """Same trace, STAGGERED arrivals: client-observed TTFT under the two
+        disciplines. Continuous admits each arrival into the running batch;
+        static makes arrivals wait for the in-flight wave to drain (the
+        reference's only option). TTFT measured from ARRIVAL, so host queue
+        wait counts against static."""
+        import queue as _q
+        import threading as _t
+
+        eng = make_engine()
+        arrivals: "_q.Queue" = _q.Queue()
+
+        def submitter():
+            for p, b in zip(prompts, budgets):
+                arrivals.put((p, b, time.perf_counter()))
+                time.sleep(arrival_s)
+            arrivals.put(None)
+
+        th = _t.Thread(target=submitter, daemon=True)
+        ttfts, done = [], []
+        th.start()
+        if static:
+            open_waves = True
+            while open_waves:
+                wave = []
+                item = arrivals.get()
+                if item is None:
+                    break
+                wave.append(item)
+                # wave forms from whatever has arrived, up to `slots`
+                try:
+                    while len(wave) < slots:
+                        nxt = arrivals.get(block=False)
+                        if nxt is None:
+                            open_waves = False
+                            break
+                        wave.append(nxt)
+                except _q.Empty:
+                    pass
+                futs = [(eng.submit(p, max_new_tokens=b), t0)
+                        for p, b, t0 in wave]
+                for f, t0 in futs:
+                    f.result(timeout=900)
+                    ttfts.append(f.first_token_t - t0)
+                    done.append(f)
+        else:
+            futs = []
+            while True:
+                item = arrivals.get()
+                if item is None:
+                    break
+                p, b, t0 = item
+                futs.append((eng.submit(p, max_new_tokens=b), t0))
+            for f, t0 in futs:
+                f.result(timeout=900)
+                ttfts.append(f.first_token_t - t0)
+                done.append(f)
+        th.join()
+        itls = [f.itl for f in done if f.itl is not None]
+        eng.close()
+        ttfts.sort()
+        itls.sort()
+
+        def pct(xs, q):
+            return round(xs[min(len(xs) - 1, int(len(xs) * q))], 4)
+
+        out = {"ttft_p50_s": pct(ttfts, 0.5), "ttft_p99_s": pct(ttfts, 0.99),
+               "itl_p50_s": pct(itls, 0.5) if itls else None,
+               "itl_p99_s": pct(itls, 0.99) if itls else None}
+        mode = "static" if static else "continuous"
+        print(f"[bench] serve latency {mode} (arrival {arrival_s}s): "
+              f"ttft p50={out['ttft_p50_s']}s p99={out['ttft_p99_s']}s",
+              file=sys.stderr)
+        return out
+
     total_tokens = sum(budgets)
     with _Watchdog(1500):
         t_static = run(static=True)
     with _Watchdog(1500):
         t_cont = run(static=False)
+    # latency under load: arrivals at ~70% of the continuous engine's measured
+    # serving capacity (interval = service_interval / 0.7), so queueing is
+    # real but stable in both disciplines
+    arrival_s = max(0.01, t_cont / n_requests / 0.7)
+    with _Watchdog(1500):
+        lat_static = run_latency(static=True, arrival_s=arrival_s)
+    with _Watchdog(1500):
+        lat_cont = run_latency(static=False, arrival_s=arrival_s)
     tps_cont = total_tokens / t_cont
     tps_static = total_tokens / t_static
     print(json.dumps({
@@ -604,7 +687,9 @@ def bench_serve(slots: int = 32, n_requests: int = 96, prompt_len: int = 600,
                    "budgets": "U[8,32]" if tiny else "U[32,224]"},
         "static_tokens_per_s": round(tps_static, 1),
         "accepted_per_step": round(acceptance.get("continuous", 1.0), 3),
-        "speedup_vs_static": round(tps_cont / tps_static, 3)}))
+        "speedup_vs_static": round(tps_cont / tps_static, 3),
+        "latency_arrival_s": round(arrival_s, 4),
+        "latency_continuous": lat_cont, "latency_static": lat_static}))
 
 
 def bench_profile(stage: str = "sampler", trace_root: str = "/tmp/unigen_traces",
@@ -923,7 +1008,8 @@ def bench_tokenizer(batch_size: int = 16):
 
 
 def bench_train(mode: str = "pt2", steps: int = 20, tiny: bool = False,
-                batch_scale: float = 1.0, online_ref: bool = False):
+                batch_scale: float = 1.0, online_ref: bool = False,
+                flash: bool = False):
     """Training-step throughput: samples/sec/device for the flagship 1.5B at
     the reference's own per-device batches (configs/unigen_1_5b/*.yaml; same
     numbers as the reference configs of the same names). Random weights +
@@ -1018,7 +1104,8 @@ def bench_train(mode: str = "pt2", steps: int = 20, tiny: bool = False,
         tx = make_optimizer(params, 5e-5, schedule)
         tcfg = TrainStepConfig(batch_size_t2i=bt, batch_size_lm=bl,
                                batch_size_mmu=bm, pad_id=pad, soi_id=soi,
-                               eoi_id=eoi, remat=True)
+                               eoi_id=eoi, remat=True,
+                               use_flash_attention=flash)
         step = jax.jit(make_train_step(cfg, vq_cfg, tx, tcfg), donate_argnums=(0,))
         ti, tl = t2i_arrays(bt)
         li, ll = lm_arrays(bl)
@@ -1058,7 +1145,8 @@ def bench_train(mode: str = "pt2", steps: int = 20, tiny: bool = False,
         # grad-tree footprint fits flagship SFT on a 16GB chip (BENCH.md)
         tcfg = SFTStepConfig(batch_size_t2i=bt, batch_size_lm=bl,
                              batch_size_mmu=bm, pad_id=pad, soi_id=soi,
-                             eoi_id=eoi, remat=True, common_length=lm_sft)
+                             eoi_id=eoi, remat=True, common_length=lm_sft,
+                             use_flash_attention=flash)
         step = jax.jit(make_sft_train_step(cfg, vq_cfg, vs_cfg, tx, tcfg),
                        donate_argnums=(0,))
         part2 = rng.integers(10, text_hi, size=(bm, part2_len))
@@ -1205,11 +1293,277 @@ def bench_train(mode: str = "pt2", steps: int = 20, tiny: bool = False,
         **({"flops_per_step": step_flops, "flops_method": "analytic",
             "mfu_bf16": round(mfu, 4)} if mfu else {}),
         "config": {"mode": mode, "samples_per_step": samples, "steps": steps,
-                   "batch_scale": batch_scale, "seq": int(L),
+                   "batch_scale": batch_scale, "seq": int(L), "flash": flash,
                    "remat": True, "dtype": "bf16" if not tiny else "fp32",
                    **({"ref_mode": "online" if online_ref else "precomputed"}
                       if mode == "dpo" else {}),
                    **({"common_length": int(lm_sft)} if mode == "sft" else {})}}))
+
+
+def bench_images(batch: int = 6, n_requests: int = 24, tiny: bool = False,
+                 quant: str = "int8", arrival_s: float = 0.0):
+    """ImageServingEngine (/v1/images microbatcher) throughput + latency.
+
+    Two arrival modes per run: a burst of ``n_requests`` (steady-state img/s —
+    comparable to the static headline bench at the same protocol) and, with
+    ``arrival_s`` > 0, staggered submissions measuring client-observed
+    time-to-first-image percentiles. Reference counterpart being beaten:
+    one-prompt-at-a-time generation, evaluation/inference_geneval.py:190-285.
+    """
+    import jax
+
+    from unigen_tpu import launch
+    from unigen_tpu.serving.images import ImageServingEngine
+    from unigen_tpu.utils.configuration import initialize_config
+
+    _enable_compile_cache()
+    overrides = ["model.quantization=int8"] if quant == "int8" else []
+    timesteps = 50
+    if tiny:
+        jax.config.update("jax_platforms", "cpu")
+        yaml = "configs/tiny/smoke_pt2.yaml"
+        batch, n_requests, timesteps = 2, 5, 4
+        overrides = []
+    else:
+        yaml = "configs/unigen_1_5b/unigen_pt2.yaml"
+    pipe = launch.build_pipeline(initialize_config(yaml, overrides))
+
+    prompts = ["a photo of a red cube on a blue sphere",
+               "two dogs playing in the snow",
+               "an oil painting of a lighthouse at dusk",
+               "a bowl of fruit on a wooden table"]
+
+    eng = ImageServingEngine(pipe, batch=batch, timesteps=timesteps,
+                             max_wait_s=0.25)
+    try:
+        with _Watchdog(2400):  # compile+warmup batch
+            t0 = time.perf_counter()
+            eng.submit(prompts[0]).result(timeout=2400)
+            print(f"[bench] images compile+warmup: "
+                  f"{time.perf_counter() - t0:.1f}s", file=sys.stderr)
+
+        with _Watchdog(2400):  # burst: full microbatches back to back
+            t0 = time.perf_counter()
+            futs = [eng.submit(prompts[i % len(prompts)])
+                    for i in range(n_requests)]
+            for f in futs:
+                f.result(timeout=2400)
+            dt = time.perf_counter() - t0
+        img_s = n_requests / dt
+        print(f"[bench] images burst: {n_requests} imgs in {dt:.2f}s = "
+              f"{img_s:.2f} img/s ({eng.batches_run} batches)", file=sys.stderr)
+
+        lat = {}
+        if arrival_s > 0:
+            with _Watchdog(2400):
+                futs = []
+                for i in range(n_requests):
+                    futs.append(eng.submit(prompts[i % len(prompts)]))
+                    time.sleep(arrival_s)
+                for f in futs:
+                    f.result(timeout=2400)
+            ttfi = sorted(f.done_t - f.submit_t for f in futs)
+            lat = {"ttfi_p50_s": round(ttfi[len(ttfi) // 2], 3),
+                   "ttfi_p99_s": round(ttfi[min(len(ttfi) - 1,
+                                                int(len(ttfi) * 0.99))], 3)}
+            print(f"[bench] images staggered (every {arrival_s}s): "
+                  f"ttfi p50={lat['ttfi_p50_s']}s p99={lat['ttfi_p99_s']}s",
+                  file=sys.stderr)
+    finally:
+        eng.close()
+
+    print(json.dumps({
+        "metric": "image serving engine img/sec/chip (microbatched t2i)"
+                  + (" [tiny]" if tiny else ""),
+        "value": round(img_s, 4), "unit": "images/sec/chip",
+        "vs_baseline": None, "synced": True,
+        "config": {"batch": batch, "n_requests": n_requests, "quant": quant,
+                   "timesteps": timesteps, **lat}}))
+
+
+def _make_live_shards(root: str, n_shards: int = 3, per_shard: int = 96,
+                      res: int = 256) -> str:
+    """Synthetic webdataset tar shards with REAL JPEG bytes (decode cost on the
+    loader path is the point). Returns the brace pattern."""
+    import io
+    import tarfile
+
+    from PIL import Image
+
+    os.makedirs(root, exist_ok=True)
+    pattern = os.path.join(root, "live-{000..%03d}.tar" % (n_shards - 1))
+    done_mark = os.path.join(root, f".done_{n_shards}_{per_shard}_{res}")
+    if os.path.exists(done_mark):
+        return pattern
+    rng = np.random.default_rng(7)
+    for s in range(n_shards):
+        path = os.path.join(root, f"live-{s:03d}.tar")
+        with tarfile.open(path, "w") as tf:
+            for i in range(per_shard):
+                # smooth gradient + noise: JPEG entropy comparable to photos
+                yy, xx = np.mgrid[0:res, 0:res].astype(np.float32) / res
+                base = np.stack([yy, xx, (yy + xx) / 2], axis=-1) * 255
+                img = np.clip(base + rng.normal(0, 25, base.shape), 0,
+                              255).astype(np.uint8)
+                buf = io.BytesIO()
+                Image.fromarray(img).save(buf, format="JPEG", quality=90)
+                data = buf.getvalue()
+                info = tarfile.TarInfo(f"{s:03d}{i:05d}.jpg")
+                info.size = len(data)
+                tf.addfile(info, io.BytesIO(data))
+                meta = json.dumps({
+                    "prompt": f"a photo of scene {s}-{i} with a gradient sky "
+                              f"and {i % 7} objects on a table",
+                    "short_caption": f"scene {s}-{i}"}).encode()
+                info = tarfile.TarInfo(f"{s:03d}{i:05d}.json")
+                info.size = len(meta)
+                tf.addfile(info, io.BytesIO(meta))
+    with open(done_mark, "w") as f:
+        f.write("ok")
+    return pattern
+
+
+def _make_live_parquet(root: str, rows: int = 512) -> str:
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    path = os.path.join(root, "lm.parquet")
+    if not os.path.exists(path):
+        rng = np.random.default_rng(9)
+        words = ["model", "data", "tensor", "train", "loss", "batch", "token",
+                 "image", "text", "the", "of", "and", "a", "learning"]
+        texts = [" ".join(rng.choice(words, size=220)) for _ in range(rows)]
+        pq.write_table(pa.table({"content": texts}), path)
+    return path
+
+
+def bench_train_live(steps: int = 24, tiny: bool = False):
+    """PT2 pretraining throughput fed by the LIVE input pipeline: local tar
+    shards -> data/text2image.py (C++ tar reader, JPEG decode, caption mixing)
+    + parquet lm flow -> combined_loader -> UniPrompting template assembly ->
+    the Trainer's one-deep pipelined loop. The companion number to
+    `bench.py train pt2` (device-resident synthetic batches): the delta IS the
+    input pipeline's cost. Reference counterpart: the CombinedLoader step,
+    training/train.py:451-562."""
+    import jax
+
+    if tiny:
+        jax.config.update("jax_platforms", "cpu")
+    _enable_compile_cache()
+    from unigen_tpu import launch
+    from unigen_tpu.data.combined import combined_loader
+    from unigen_tpu.data.lm_data import ParquetTextDataset
+    from unigen_tpu.data.text2image import Text2ImageDataset
+    from unigen_tpu.models import magvit, unigen
+    from unigen_tpu.launch import TRAIN_SPECIAL_TOKENS
+    from unigen_tpu.prompting import UniPrompting
+    from unigen_tpu.training.optimizer import make_optimizer
+    from unigen_tpu.training.train_step import TrainStepConfig
+    from unigen_tpu.training.trainer import Trainer, TrainerConfig
+    from unigen_tpu.utils.logging import MetricLogger
+
+    root = "/tmp/unigen_live_bench"
+    # loader resolution must match the VQ token grid the model expects
+    # (UniGenConfig.tiny pairs with the 8px MagvitConfig.tiny -> 16 codes);
+    # shard JPEGs stay photo-sized so decode cost is realistic either way
+    res = 8 if tiny else 256
+    shards = _make_live_shards(root, n_shards=2 if tiny else 3,
+                               per_shard=12 if tiny else 96,
+                               res=64 if tiny else 256)
+    parquet = _make_live_parquet(root)
+
+    tok = launch.FallbackTokenizer()
+    if tiny:
+        # compress the id space to bytes + specials so the tiny model's small
+        # vocab covers every emitted id (Qwen-neighborhood ids would be OOV ->
+        # NaN embeddings)
+        tok.specials = {"<|endoftext|>": 256, "<|im_start|>": 257,
+                        "<|im_end|>": 258, "<|vision_start|>": 259,
+                        "<|vision_end|>": 260}
+        tok.next_id = 261
+        tok.pad_token_id, tok.eos_token_id = 256, 258
+    # text budget 129 -> total rows 129 + n + 2, the same 387-token protocol as
+    # the synthetic-batch pt2 bench (L is prompting-internal; see t2i_prompt)
+    n_probe = 16 if tiny else 256
+    prompting = UniPrompting(tok, special_tokens=TRAIN_SPECIAL_TOKENS,
+                             max_seq_len=(129 if not tiny else 8) + n_probe + 2,
+                             cond_dropout_prob=0.1, task_token_first=True)
+    if tiny:
+        cfg = unigen.UniGenConfig.tiny(w_und_encoder=True, mm_input_dim=32,
+                                       text_vocab_len=len(tok))
+        vq_cfg = magvit.MagvitConfig.tiny(z_channels=5, resolution=res)
+        bt, bl, bm = 2, 1, 2
+    else:
+        cfg = unigen.UniGenConfig.for_qwen25_15b(
+            w_und_encoder=True, mm_input_dim=1152)
+        vq_cfg = magvit.MagvitConfig(dtype=jnp.bfloat16)
+        bt, bl, bm = 8, 2, 6
+    n = cfg.num_vq_tokens
+    assert n == n_probe, f"num_vq_tokens {n} != assumed {n_probe}"
+
+    flows = {
+        "t2i_flow": Text2ImageDataset([shards], per_device_batch_size=bt,
+                                      resolution=res, seed=1),
+        "lm_flow": ParquetTextDataset([parquet], per_device_batch_size=bl,
+                                      max_length_chars=512),
+        "mmu_flow": Text2ImageDataset([shards], per_device_batch_size=bm,
+                                      resolution=res, seed=2,
+                                      add_caption_prompt=True),
+    }
+
+    t0 = time.perf_counter()
+    params = jax.jit(lambda k: unigen.init(k, cfg))(jax.random.key(0))
+    vq_params = jax.jit(lambda k: magvit.init(k, vq_cfg))(jax.random.key(1))
+    vq_params = jax.tree_util.tree_map(lambda x: x.astype(vq_cfg.dtype),
+                                       vq_params)
+    jax.block_until_ready(params)
+    print(f"[bench] train-live init: {time.perf_counter() - t0:.1f}s",
+          file=sys.stderr)
+
+    sp = prompting.sptids_dict
+    tcfg = TrainStepConfig(
+        batch_size_t2i=bt, batch_size_lm=bl, batch_size_mmu=bm,
+        pad_id=prompting.pad_id, soi_id=sp["<|soi|>"], eoi_id=sp["<|eoi|>"],
+        remat=not tiny)
+    tx = make_optimizer(params, 5e-5, lambda s: 1.0)
+    out_dir = os.path.join(root, "out")
+    half = max(4, steps // 2)
+    trainer = Trainer(cfg, vq_cfg, tcfg, TrainerConfig(
+        output_dir=out_dir, max_train_steps=steps, log_every=half,
+        save_every=0, resume_from_checkpoint=None),
+        prompting, tx, params, vq_params,
+        metric_logger=MetricLogger(out_dir))
+    del params
+
+    with _Watchdog(3000):
+        t0 = time.perf_counter()
+        trainer.train(combined_loader(flows))
+        wall = time.perf_counter() - t0
+
+    # steady-state window: the trainer's own last log_every window average
+    # (excludes the first window's compile)
+    value = None
+    try:
+        with open(os.path.join(out_dir, "metrics.jsonl")) as f:
+            logs = [json.loads(l) for l in f if "samples_per_sec_per_device" in l]
+        if logs:
+            value = logs[-1]["samples_per_sec_per_device"]
+            data_t, batch_t = logs[-1]["data_time"], logs[-1]["batch_time"]
+            print(f"[bench] train-live steady window: data_time={data_t*1e3:.0f}ms "
+                  f"batch_time={batch_t*1e3:.0f}ms", file=sys.stderr)
+    except OSError:
+        pass
+    if value is None:
+        value = (bt + bl + bm) * steps / wall
+    print(json.dumps({
+        "metric": "training step throughput [pt2, live input pipeline]"
+                  + (" [tiny]" if tiny else ""),
+        "value": round(float(value), 2), "unit": "samples/sec/device",
+        "vs_baseline": None, "synced": True,
+        "config": {"mode": "pt2-live", "samples_per_step": bt + bl + bm,
+                   "steps": steps, "resolution": res,
+                   "loader": "tar+jpeg+parquet", "dtype":
+                   "bf16" if not tiny else "fp32"}}))
 
 
 if __name__ == "__main__":
@@ -1245,6 +1599,13 @@ if __name__ == "__main__":
                     n_requests=int(nums[1]) if len(nums) > 1 else 96,
                     quant=None if q == "bf16" else ("int8+kv" if q == "int8kv" else q),
                     tiny="tiny" in args, speculate_k=spec)
+    elif args and args[0] == "images":
+        nums = [a for a in args[1:] if a.isdigit()]
+        arr = next((float(a[3:]) for a in args if a.startswith("arr")), 0.5)
+        bench_images(batch=int(nums[0]) if nums else 6,
+                     tiny="tiny" in args,
+                     quant="bf16" if "bf16" in args else "int8",
+                     arrival_s=arr)
     elif args and args[0] == "profile":
         stage = next((a for a in args[1:] if a != "tiny"), "sampler")
         bench_profile(stage, tiny="tiny" in args)
@@ -1252,9 +1613,13 @@ if __name__ == "__main__":
         mode = next((a for a in args[1:] if a in ("pt2", "sft", "dpo")), "pt2")
         nums = [a for a in args[1:] if a.isdigit()]
         scale = next((float(a[1:]) for a in args if a.startswith("x")), 1.0)
-        bench_train(mode, steps=int(nums[0]) if nums else 20,
-                    tiny="tiny" in args, batch_scale=scale,
-                    online_ref="online" in args)
+        if "live" in args:
+            bench_train_live(steps=int(nums[0]) if nums else 24,
+                             tiny="tiny" in args)
+        else:
+            bench_train(mode, steps=int(nums[0]) if nums else 20,
+                        tiny="tiny" in args, batch_scale=scale,
+                        online_ref="online" in args, flash="flash" in args)
     else:
         # int8 W8A8 is the default (fastest exactness-gated config, BENCH.md);
         # `python bench.py bf16` benches the full-precision path. Batch 6 is

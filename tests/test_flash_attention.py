@@ -106,3 +106,47 @@ def test_flash_attention_gradients_match_xla():
     gx = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
     for a, b_ in zip(gf, gx):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=1e-5, rtol=1e-5)
+
+
+def test_segment_packed_mask():
+    """AttnMeta.seg confines attention to same-segment pairs (sequence-packed
+    SFT rows, training/sft.py::loss_packed): kernel == XLA visibility path."""
+    b, l = 2, 16
+    # two 8-token segments per row; segment 1 of row 0 has a bidir image block
+    seg = jnp.concatenate([jnp.zeros((b, 8), jnp.int32),
+                           jnp.ones((b, 8), jnp.int32)], axis=1)
+    meta = M.AttnMeta(
+        pad=jnp.zeros((b, l), bool).at[0, 14:].set(True),   # tail pad in seg 1
+        bidir_q=jnp.zeros((b, l), bool).at[0, 10:13].set(True),
+        bidir_k=jnp.zeros((b, l), bool),
+        seg=seg)
+    # the dense visibility must be block-diagonal
+    vis = np.asarray(meta.visibility())[0, 0]
+    assert not vis[4, 9] and not vis[12, 3], "cross-segment leak"
+    _compare(meta, seed=7)
+
+
+def test_segment_packed_gradients_match_xla():
+    b, l, h, kvh, dh = 1, 16, 4, 2, 8
+    rng = np.random.default_rng(8)
+    q = jnp.asarray(rng.normal(size=(b, l, h, dh)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(b, l, kvh, dh)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(b, l, kvh, dh)), jnp.float32)
+    seg = jnp.concatenate([jnp.zeros((b, 8), jnp.int32),
+                           jnp.ones((b, 8), jnp.int32)], axis=1)
+    meta = M.AttnMeta(pad=jnp.zeros((b, l), bool),
+                      bidir_q=jnp.zeros((b, l), bool).at[:, 2:6].set(True),
+                      bidir_k=jnp.zeros((b, l), bool), seg=seg)
+    bits = pack_meta(meta)
+
+    def loss_flash(q, k, v):
+        return (flash_attention(q, k, v, bits, None, 8, True) ** 2).sum()
+
+    def loss_xla(q, k, v):
+        return (dot_product_attention(q, k, v, meta=meta) ** 2).sum()
+
+    gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    gx = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(gf, gx):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=1e-5,
+                                   rtol=1e-5)

@@ -369,3 +369,56 @@ def test_grid_tiles():
     assert tiles.shape == (2, 5, 4, 4, 3)
     np.testing.assert_array_equal(np.asarray(tiles[:, 1]), np.asarray(px[:, :4, :4]))
     np.testing.assert_array_equal(np.asarray(tiles[:, 4]), np.asarray(px[:, 4:, 4:]))
+
+
+@pytest.mark.parametrize("mode", ["separate", "fused", "packed"])
+def test_sft_flash_attention_matches_dense(mode):
+    """use_flash_attention=True (AttnMeta through the omni-mask kernel path;
+    on CPU the numerically-matching XLA visibility() form) computes the same
+    losses and updated params as the dense-mask step, in all three SFT
+    dispatch modes — including the sequence-packed rows whose block-diagonal
+    masks become per-token segment ids (ops/masks.py::AttnMeta.seg)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from unigen_tpu.training import lr_schedules as LRS
+    from unigen_tpu.training.optimizer import make_optimizer
+    from unigen_tpu.training.sft import SFTStepConfig, make_sft_train_step
+    from unigen_tpu.training.train_step import init_train_state
+
+    cfg, vq_cfg, vs_cfg, params, vq_params, vs_params, batch = _sft_fixture()
+    b = 2
+    rng = np.random.default_rng(11)
+    if mode != "separate":
+        # stretch the mmu splice to cover two t2i/lm segments (387-vs-1344 analog)
+        p = vs_cfg.num_patches
+        part2_len = 50
+        mmu_len = 3 + p + part2_len
+        labels = np.full((b, mmu_len), -100)
+        labels[:, -6:] = rng.integers(3, 100, size=(b, 6))
+        batch = dict(batch,
+                     mmu_part2=jnp.asarray(rng.integers(3, 100, size=(b, part2_len))),
+                     mmu_labels=jnp.asarray(labels),
+                     mmu_prompt_len=jnp.asarray([mmu_len, mmu_len - 2]))
+        common = mmu_len
+    else:
+        common = None
+    schedule = LRS.get_scheduler("constant")
+    results = {}
+    for flash in (False, True):
+        tx = make_optimizer(params, 1e-3, schedule)
+        tcfg = SFTStepConfig(batch_size_t2i=b, batch_size_lm=b, batch_size_mmu=b,
+                             common_length=common, pack_rows=(mode == "packed"),
+                             use_flash_attention=flash)
+        step = jax.jit(make_sft_train_step(cfg, vq_cfg, vs_cfg, tx, tcfg))
+        state = init_train_state(jax.tree_util.tree_map(jnp.copy, params), tx)
+        state, metrics = step(state, vq_params, vs_params, batch,
+                              jax.random.key(5))
+        results[flash] = ({k: float(v) for k, v in metrics.items()}, state.params)
+    for k in ("loss", "loss_t2i", "loss_lm", "loss_mmu", "grad_norm",
+              "avg_masking_rate"):
+        np.testing.assert_allclose(results[True][0][k], results[False][0][k],
+                                   rtol=2e-5, err_msg=k)
+    import chex
+    chex.assert_trees_all_close(results[True][1], results[False][1],
+                                rtol=1e-4, atol=1e-7)

@@ -138,9 +138,13 @@ def _cache_write(buf: Array, upd: Array, li: Array, cache_index: Array,
     ``buf``: one of the ``cfg.kv_layout`` orders; ``upd``: [B, l, ...];
     ``li``: scalar layer index.
     Scalar ``cache_index``: one dynamic_update_slice at the shared position.
-    [B] ``cache_index``: per-row positions — a vmapped dynamic_update_slice,
-    which XLA lowers to a scatter and aliases in the scan carry (the
-    continuous-batching engine keeps every serving slot at its own age).
+    [B] ``cache_index``: per-row positions (the continuous-batching engine
+    keeps every serving slot at its own age) — written as ONE fused
+    masked-select rewrite of the layer slice. The earlier vmapped
+    dynamic_update_slice form unrolled to B tiny ops per (layer, step) —
+    28,672 dispatches per 16-step serving chunk at 32 slots, 59% of the
+    decode chunk's device time (BENCH.md r5 engine trace); the select
+    streams the 7MB layer slice once instead and XLA aliases it in place.
     """
     upd = upd.astype(buf.dtype)
     if layout == "bhsd":
@@ -160,19 +164,35 @@ def _cache_write(buf: Array, upd: Array, li: Array, cache_index: Array,
         zeros = (0,) * (buf.ndim - 3)
         return jax.lax.dynamic_update_slice(buf, upd[None], (li, 0, cache_index) + zeros)
 
-    if layout == "bhsd":
-        def one_h(buf_b, upd_b, i):  # buf_b [L, KVH, S(, Dh)], upd_b [KVH, l(, Dh)]
-            z = (0,) * (buf_b.ndim - 3)
-            return jax.lax.dynamic_update_slice(buf_b, upd_b[None], (li, 0, i) + z)
+    # layer-slice axes (after dropping the leading stacked-layer dim):
+    #   bskd  [B, S, KVH(, Dh)]  upd [B, l, KVH(, Dh)]
+    #   skbd  [S, KVH, B(, Dh)]  upd [B, l, KVH(, Dh)] -> moveaxis to [l, KVH, B(, Dh)]
+    #   bhsd  [B, KVH, S(, Dh)]  upd [B, KVH, l(, Dh)] (swapped above)
+    slot_ax = {"bskd": 1, "skbd": 0, "bhsd": 2}[layout]
+    bat_ax = {"bskd": 0, "skbd": 2, "bhsd": 0}[layout]
+    l_ax = {"bskd": 1, "skbd": 1, "bhsd": 2}[layout]  # chunk axis within upd
 
-        return jax.vmap(one_h, in_axes=(1, 0, 0), out_axes=1)(buf, upd, cache_index)
-
-    def one(buf_b, upd_b, i):
-        z = (0,) * (buf_b.ndim - 2)
-        return jax.lax.dynamic_update_slice(buf_b, upd_b[None], (li, i) + z)
-
-    axis = 3 if layout == "skbd" else 1
-    return jax.vmap(one, in_axes=(axis, 0, 0), out_axes=axis)(buf, upd, cache_index)
+    layer = jax.lax.dynamic_index_in_dim(buf, li, 0, keepdims=False)
+    b, s = cache_index.shape[0], layer.shape[slot_ax]
+    l = upd.shape[l_ax]
+    pos = jnp.arange(s)
+    sel = (pos[None] >= cache_index[:, None]) & \
+          (pos[None] < (cache_index + l)[:, None])              # [B, S]
+    if l > 1:
+        # expand the chunk to slot width: slot s holds upd[:, s - idx] (clamped;
+        # out-of-window slots are discarded by the select)
+        rel = jnp.clip(pos[None] - cache_index[:, None], 0, l - 1)  # [B, S]
+        rel = rel.reshape(rel.shape + (1,) * (upd.ndim - 2))
+        if layout == "bhsd":
+            rel = jnp.swapaxes(rel, 1, 2)                       # [B, 1, S(, 1)]
+        upd = jnp.take_along_axis(upd, rel, axis=l_ax)
+    sel2 = sel.T if bat_ax > slot_ax else sel                   # skbd: [S, B]
+    shape = [1] * layer.ndim
+    shape[bat_ax], shape[slot_ax] = b, s
+    if layout == "skbd":
+        upd = jnp.moveaxis(upd, 0, 2)
+    new_layer = jnp.where(sel2.reshape(shape), upd.astype(layer.dtype), layer)
+    return jax.lax.dynamic_update_index_in_dim(buf, new_layer, li, 0)
 
 
 def _kv_quantize(x: Array) -> Tuple[Array, Array]:

@@ -33,13 +33,17 @@ from .masks import AttnMeta
 Array = jax.Array
 
 _PAD_BIT, _BIDIRQ_BIT, _BIDIRK_BIT = 1, 2, 4
+_SEG_SHIFT = 3  # packed-segment id lives in bits [3, 31] (ops.masks.AttnMeta.seg)
 
 
 def pack_meta(meta: AttnMeta) -> Array:
     """AttnMeta -> [B, L] int32 bitfield consumed by the kernel."""
-    return (meta.pad.astype(jnp.int32) * _PAD_BIT
+    bits = (meta.pad.astype(jnp.int32) * _PAD_BIT
             + meta.bidir_q.astype(jnp.int32) * _BIDIRQ_BIT
             + meta.bidir_k.astype(jnp.int32) * _BIDIRK_BIT)
+    if meta.seg is not None:
+        bits = bits + (meta.seg.astype(jnp.int32) << _SEG_SHIFT)
+    return bits
 
 
 def _attn_kernel(meta_q_ref, meta_k_ref, q_ref, k_ref, v_ref, o_ref, *, scale,
@@ -63,6 +67,8 @@ def _attn_kernel(meta_q_ref, meta_k_ref, q_ref, k_ref, v_ref, o_ref, *, scale,
 
     visible = (k_pos <= q_pos) | ((mq & _BIDIRQ_BIT) != 0) | ((mk & _BIDIRK_BIT) != 0)
     visible &= ((mq & _PAD_BIT) == 0) & ((mk & _PAD_BIT) == 0)
+    # sequence packing: query and key must share a segment id (0 when unpacked)
+    visible &= (mq >> _SEG_SHIFT) == (mk >> _SEG_SHIFT)
 
     logits = jnp.where(visible, logits, jnp.finfo(jnp.float32).min)
     # fp32 softmax; fully-masked rows (pads) produce uniform weights over the
@@ -80,7 +86,8 @@ def _xla_reference(q, k, v, meta_bits, scale):
     pad = (meta_bits & _PAD_BIT) != 0
     bidir_q = (meta_bits & _BIDIRQ_BIT) != 0
     bidir_k = (meta_bits & _BIDIRK_BIT) != 0
-    meta = AttnMeta(pad=pad, bidir_q=bidir_q, bidir_k=bidir_k)
+    meta = AttnMeta(pad=pad, bidir_q=bidir_q, bidir_k=bidir_k,
+                    seg=meta_bits >> _SEG_SHIFT)
     return dot_product_attention(q, k, v, meta=meta, scale=scale)
 
 

@@ -33,10 +33,17 @@ Array = jax.Array
 
 
 class AttnMeta(NamedTuple):
-    """Per-token attention metadata; the kernel-side replacement for [L,L] masks."""
+    """Per-token attention metadata; the kernel-side replacement for [L,L] masks.
+
+    ``seg`` (optional) carries per-token segment ids for SEQUENCE-PACKED rows
+    (training/sft.py::loss_packed): attention is confined to same-segment
+    pairs, giving block-diagonal masks without materializing them. None means
+    one segment per row (the common case; zero cost in the kernel bitfield).
+    """
     pad: Array      # [B, L] bool — token is padding
     bidir_q: Array  # [B, L] bool — query attends bidirectionally (t2i image block)
     bidir_k: Array  # [B, L] bool — key visible to all queries (mmu image prefix)
+    seg: Optional[Array] = None  # [B, L] int32 — packed-segment id (None = single)
 
     def visibility(self) -> Array:
         """Materialize [B, 1, L, L] bool. For the XLA path; kernels use the vectors."""
@@ -44,6 +51,8 @@ class AttnMeta(NamedTuple):
         causal = q_pos[:, None] >= q_pos[None, :]
         vis = causal[None] | self.bidir_q[:, :, None] | self.bidir_k[:, None, :]
         vis = vis & ~self.pad[:, :, None] & ~self.pad[:, None, :]
+        if self.seg is not None:
+            vis = vis & (self.seg[:, :, None] == self.seg[:, None, :])
         return vis[:, None]
 
 
@@ -67,9 +76,15 @@ def lm_attn_meta(input_ids: Array, pad_id: int) -> AttnMeta:
 def concat_meta(*metas: AttnMeta) -> AttnMeta:
     """Concatenate per-task metadata along the batch dim — the fused multi-task
     batch (t2i omni + lm causal + mmu prefix) runs under ONE attention kernel."""
+    seg = None
+    if any(m.seg is not None for m in metas):
+        seg = jnp.concatenate(
+            [m.seg if m.seg is not None else jnp.zeros_like(m.pad, jnp.int32)
+             for m in metas], axis=0)
     return AttnMeta(pad=jnp.concatenate([m.pad for m in metas], axis=0),
                     bidir_q=jnp.concatenate([m.bidir_q for m in metas], axis=0),
-                    bidir_k=jnp.concatenate([m.bidir_k for m in metas], axis=0))
+                    bidir_k=jnp.concatenate([m.bidir_k for m in metas], axis=0),
+                    seg=seg)
 
 
 def t2i_attn_meta(input_ids: Array, pad_id: int, soi_id: int, eoi_id: int) -> AttnMeta:
@@ -91,6 +106,37 @@ def mmu_attn_meta(input_ids: Array, pad_id: int, soi_id: int, eoi_id: int) -> At
     eoi_pos = jnp.argmax(input_ids == eoi_id, axis=-1, keepdims=True)
     prefix = pos <= eoi_pos
     return AttnMeta(pad=pad, bidir_q=jnp.zeros_like(pad), bidir_k=prefix & ~pad)
+
+
+def mmu_vit_attn_meta(
+    batch_size: int,
+    seq_len: int,
+    *,
+    num_tokens: "int | Array",
+    prefix_length: int,
+    prompt_len: Optional[Array] = None,
+) -> AttnMeta:
+    """Metadata form of create_attention_mask_for_mmu_vit + the prompt-length
+    keep mask that training/sft.py ANDs on top (reference mmu_vit mask,
+    prompting_utils.py:1038-1074): bidir_k on the continuous-image block,
+    pad beyond each row's valid prompt length.
+
+    Loss-equivalent to the dense builder (pad rows see nothing here vs their
+    own causal prefix there — those rows carry -100 labels and no real query
+    attends to pad keys either way); exactness vs the dense path is asserted by
+    tests/test_training.py's SFT flash parity tests on losses and gradients.
+    """
+    pos = jnp.arange(seq_len)
+    if isinstance(num_tokens, int):
+        img_len = jnp.full((batch_size,), num_tokens, jnp.int32)
+    else:  # [B, 2] NaFlex spatial shapes
+        img_len = num_tokens[:, 0] * num_tokens[:, 1]
+    block = (pos[None] >= prefix_length) & (pos[None] < prefix_length + img_len[:, None])
+    if prompt_len is None:
+        pad = jnp.zeros((batch_size, seq_len), bool)
+    else:
+        pad = pos[None] >= prompt_len[:, None]
+    return AttnMeta(pad=pad, bidir_q=jnp.zeros_like(pad), bidir_k=block & ~pad)
 
 
 # ---------------------------------------------------------------------------

@@ -25,6 +25,7 @@ from __future__ import annotations
 import itertools
 import queue
 import threading
+import time
 from typing import Any, List, Optional, Tuple
 
 import jax
@@ -41,9 +42,14 @@ class ImageResult:
         self._event = threading.Event()
         self._image: Optional[np.ndarray] = None
         self._error: Optional[BaseException] = None
+        # client-observed latency marks (perf_counter seconds): the raw
+        # material for time-to-first-image percentiles (bench.py images)
+        self.submit_t: float = time.perf_counter()
+        self.done_t: Optional[float] = None
 
     def _resolve(self, image: np.ndarray) -> None:
         self._image = image
+        self.done_t = time.perf_counter()
         self._event.set()
 
     def _fail(self, err: BaseException) -> None:

@@ -109,12 +109,29 @@ def make_sft_train_step(
             return feats.reshape(b, -1, feats.shape[-1])  # concat tiles along patches
         return siglip.forward(vision_params, vision_cfg, pixels)
 
+    use_meta = tcfg.use_flash_attention
+
+    def _attn_kw(mask_list):
+        """masks-list entry/entries -> the forward kwarg for the active
+        representation (dense attention_mask vs AttnMeta for the Pallas kernel)."""
+        if use_meta:
+            return {"attn_meta": M.concat_meta(*mask_list)}
+        if len(mask_list) == 1:
+            return {"attention_mask": mask_list[0]}
+        return {"attention_mask": jnp.concatenate(mask_list, axis=0)}
+
     def build_tl_inputs(vq_params, batch, key, target_len=None):
         """ids/labels/masks for the t2i and lm flows; with ``target_len`` the
         rows are LEFT-padded to it before mask construction (left padding keeps
         the trailing VQ block at the tail, so the t2i loss/gen-projector slicing
         is unchanged; pad positions are masked out of attention and carry -100
-        labels, so losses are exactly those of the unpadded rows)."""
+        labels, so losses are exactly those of the unpadded rows).
+
+        With ``tcfg.use_flash_attention`` the ``masks`` list carries AttnMeta
+        (O(B·L) per-token flags for the Pallas omni-mask kernel) instead of
+        dense [B,1,L,L] masks — loss-equivalent (pad rows differ only at -100
+        label positions; see ops/masks.py), asserted by the SFT flash parity
+        tests."""
         parts, labs_parts, masks = [], [], []
         bt = bl = 0
         mask_prob = jnp.zeros((1,), jnp.float32)
@@ -144,8 +161,11 @@ def make_sft_train_step(
             labs = _splice(batch["t2i_labels"], img_lab,
                            batch["t2i_labels"].shape[1] - n - 1)
             ids, labs = pad_to(ids, labs)
-            att = M.create_attention_mask_predict_next(
-                ids, tcfg.pad_id, tcfg.soi_id, tcfg.eoi_id, rm_pad_in_image=True)
+            att = (M.t2i_attn_meta(ids, tcfg.pad_id, tcfg.soi_id, tcfg.eoi_id)
+                   if use_meta else
+                   M.create_attention_mask_predict_next(
+                       ids, tcfg.pad_id, tcfg.soi_id, tcfg.eoi_id,
+                       rm_pad_in_image=True))
             parts.append(ids)
             labs_parts.append(labs)
             masks.append(att)
@@ -159,25 +179,35 @@ def make_sft_train_step(
                 # the pad→first-real-token pair is not a real next-token pair:
                 # unpadded CE never scores label[0] (it is only ever an input)
                 labs = labs.at[:, off].set(-100)
-            att = M.causal_mask_from_attention((ids != tcfg.pad_id).astype(jnp.int32))
+            att = (M.lm_attn_meta(ids, tcfg.pad_id) if use_meta else
+                   M.causal_mask_from_attention(
+                       (ids != tcfg.pad_id).astype(jnp.int32)))
             parts.append(ids)
             labs_parts.append(labs)
             masks.append(att)
             bl = ids.shape[0]
         return parts, labs_parts, masks, bt, bl, mask_prob
 
-    def build_mmu_inputs(params, vision_params, batch):
-        """Spliced [part1 | vision embeds | part2] inputs + mask for the mmu flow."""
+    def build_mmu_inputs(params, vision_params, batch, want_meta=False):
+        """Spliced [part1 | vision embeds | part2] inputs + mask (or, with
+        ``want_meta``, the O(B·L) AttnMeta consumed by the Pallas omni-mask
+        kernel) for the mmu flow."""
         feats = vision_features(vision_params, batch)
         img_embeds = unigen.mm_project(params, feats)
         e1 = unigen.embed_tokens(params, batch["mmu_part1"])
         e2 = unigen.embed_tokens(params, batch["mmu_part2"])
         embeds = jnp.concatenate([e1, img_embeds.astype(e1.dtype), e2], axis=1)
         b, l, _ = embeds.shape
+        num_tokens = (batch["mmu_spatial_shapes"] if naflex
+                      else img_embeds.shape[1])
+        if want_meta:
+            meta = M.mmu_vit_attn_meta(
+                b, l, num_tokens=num_tokens,
+                prefix_length=batch["mmu_part1"].shape[1],
+                prompt_len=batch["mmu_prompt_len"])
+            return embeds, meta, batch["mmu_labels"]
         att = M.create_attention_mask_for_mmu_vit(
-            b, l,
-            num_tokens=(batch["mmu_spatial_shapes"] if naflex
-                        else img_embeds.shape[1]),
+            b, l, num_tokens=num_tokens,
             prefix_length=batch["mmu_part1"].shape[1])
         keep = jnp.arange(l)[None] < batch["mmu_prompt_len"][:, None]
         att = att & keep[:, None, None, :] & keep[:, None, :, None]
@@ -196,11 +226,11 @@ def make_sft_train_step(
         if parts and fusable:
             _, lt, ll, _ = unigen.forward(
                 params, cfg, input_ids=jnp.concatenate(parts, axis=0),
-                attention_mask=jnp.concatenate(masks, axis=0),
                 labels=jnp.concatenate(labs_parts, axis=0),
                 batch_size_t2i=bt, batch_size_lm=bl,
                 t2i_mode=tcfg.t2i_gen_mode, remat=tcfg.remat,
-                memory_efficient_loss=tcfg.memory_efficient_loss)
+                memory_efficient_loss=tcfg.memory_efficient_loss,
+                **_attn_kw(masks))
             if bt:
                 losses["loss_t2i"] = lt
                 total = total + tcfg.t2i_coeff * lt
@@ -211,16 +241,18 @@ def make_sft_train_step(
             # unequal t2i/lm lengths: one forward per flow (costs a second
             # backward-scan gradient-accumulator set — fine off the 16GB chip)
             _, lt, _, _ = unigen.forward(
-                params, cfg, input_ids=parts[0], attention_mask=masks[0],
+                params, cfg, input_ids=parts[0],
                 labels=labs_parts[0], batch_size_t2i=bt,
                 t2i_mode=tcfg.t2i_gen_mode, remat=tcfg.remat,
-                memory_efficient_loss=tcfg.memory_efficient_loss)
+                memory_efficient_loss=tcfg.memory_efficient_loss,
+                **_attn_kw(masks[:1]))
             losses["loss_t2i"] = lt
             total = total + tcfg.t2i_coeff * lt
             _, _, ll, _ = unigen.forward(
-                params, cfg, input_ids=parts[1], attention_mask=masks[1],
+                params, cfg, input_ids=parts[1],
                 labels=labs_parts[1], batch_size_lm=bl, remat=tcfg.remat,
-                memory_efficient_loss=tcfg.memory_efficient_loss)
+                memory_efficient_loss=tcfg.memory_efficient_loss,
+                **_attn_kw(masks[1:]))
             losses["loss_lm"] = ll
             total = total + tcfg.lm_coeff * ll
         losses["avg_masking_rate"] = mask_prob.mean()
@@ -228,13 +260,15 @@ def make_sft_train_step(
 
     def loss_mmu(params, vision_params, batch):
         """Weighted mmu (vision-tower conversation) loss at its own length."""
-        embeds, att, labels = build_mmu_inputs(params, vision_params, batch)
+        embeds, att, labels = build_mmu_inputs(params, vision_params, batch,
+                                               want_meta=use_meta)
         _, _, _, lm = unigen.forward(params, cfg, input_ids=None,
-                                     input_embeddings=embeds, attention_mask=att,
+                                     input_embeddings=embeds,
                                      labels=labels,
                                      batch_size_mmu=embeds.shape[0],
                                      remat=tcfg.remat,
-                                     memory_efficient_loss=tcfg.memory_efficient_loss)
+                                     memory_efficient_loss=tcfg.memory_efficient_loss,
+                                     **_attn_kw([att]))
         return tcfg.mmu_coeff * lm, {"loss_mmu": lm}
 
     def loss_fused(params, vq_params, vision_params, batch, key):
@@ -252,7 +286,7 @@ def make_sft_train_step(
         parts, labs_parts, masks, bt, bl, mask_prob = build_tl_inputs(
             vq_params, batch, key, target_len=Lc)
         mmu_embeds, mmu_att, mmu_labels = build_mmu_inputs(
-            params, vision_params, batch)
+            params, vision_params, batch, want_meta=use_meta)
         if mmu_embeds.shape[1] != Lc:
             raise ValueError(f"common_length {Lc} != mmu splice length "
                              f"{mmu_embeds.shape[1]}")
@@ -265,7 +299,7 @@ def make_sft_train_step(
         embeds = jnp.concatenate([e.astype(mmu_embeds.dtype) for e in embeds],
                                  axis=0)
         labels = jnp.concatenate(labs_parts + [mmu_labels], axis=0)
-        att = jnp.concatenate(masks + [mmu_att], axis=0)
+        attn_kw = _attn_kw(masks + [mmu_att])
         bm = mmu_embeds.shape[0]
         # RoPE positions: left-padded rows must rotate their REAL tokens at the
         # positions they'd have unpadded (0..len-1), or the fused losses diverge
@@ -282,11 +316,11 @@ def make_sft_train_step(
         pos.append(jnp.broadcast_to(jnp.arange(Lc)[None], (bm, Lc)))
         _, lt, ll, lmu = unigen.forward(
             params, cfg, input_ids=None, input_embeddings=embeds,
-            attention_mask=att, labels=labels,
+            labels=labels,
             batch_size_t2i=bt, batch_size_lm=bl, batch_size_mmu=bm,
             t2i_mode=tcfg.t2i_gen_mode, remat=tcfg.remat,
             memory_efficient_loss=tcfg.memory_efficient_loss,
-            positions=jnp.concatenate(pos, axis=0))
+            positions=jnp.concatenate(pos, axis=0), **attn_kw)
         losses = {"avg_masking_rate": mask_prob.mean()}
         total = tcfg.mmu_coeff * lmu
         losses["loss_mmu"] = lmu
@@ -317,26 +351,41 @@ def make_sft_train_step(
         parts, labs_parts, masks, bt, bl, mask_prob = build_tl_inputs(
             vq_params, batch, key)
         mmu_embeds, mmu_att, mmu_labels = build_mmu_inputs(
-            params, vision_params, batch)
+            params, vision_params, batch, want_meta=use_meta)
         if mmu_embeds.shape[1] != Lc:
             raise ValueError(f"common_length {Lc} != mmu splice length "
                              f"{mmu_embeds.shape[1]}")
 
-        def pack(ids_r, labs_r, mask_r):
+        def pack(ids_r, labs_r, mask_r, meta_builder=None):
+            """Pack r rows of length ls into ceil(r/segs) rows of length Lc.
+
+            Dense mode (``meta_builder`` None): per-segment [ls, ls] masks land
+            block-diagonally in a [p_rows, 1, Lc, Lc] mask. Flash mode: returns
+            an AttnMeta instead — ``meta_builder(ids_p)`` derives pad/bidir
+            flags from the PACKED ids (filler slots are pad_id ⇒ pad=True) and
+            the per-slot segment ids confine attention to its own segment
+            inside the kernel (ops/flash_attention.py), so no [Lc, Lc] mask is
+            ever materialized."""
             r, ls = ids_r.shape
             segs = max(1, Lc // ls)
             p_rows = -(-r // segs)
             ids_p = jnp.full((p_rows, Lc), tcfg.pad_id, ids_r.dtype)
             labs_p = jnp.full((p_rows, Lc), -100, labs_r.dtype)
-            att_p = jnp.zeros((p_rows, 1, Lc, Lc), bool)
+            att_p = (None if meta_builder is not None
+                     else jnp.zeros((p_rows, 1, Lc, Lc), bool))
             pos_p = jnp.zeros((p_rows, Lc), jnp.int32)
+            seg_p = jnp.zeros((p_rows, Lc), jnp.int32)
             for i in range(r):
                 pr, slot = divmod(i, segs)
                 o = slot * ls
                 ids_p = ids_p.at[pr, o:o + ls].set(ids_r[i])
                 labs_p = labs_p.at[pr, o:o + ls].set(labs_r[i])
-                att_p = att_p.at[pr, 0, o:o + ls, o:o + ls].set(mask_r[i, 0])
+                if att_p is not None:
+                    att_p = att_p.at[pr, 0, o:o + ls, o:o + ls].set(mask_r[i, 0])
                 pos_p = pos_p.at[pr, o:o + ls].set(jnp.arange(ls))
+                seg_p = seg_p.at[pr, o:o + ls].set(slot)
+            if meta_builder is not None:
+                att_p = meta_builder(ids_p)._replace(seg=seg_p)
             return ids_p, labs_p, att_p, pos_p
 
         embeds, atts, poss = [], [], []
@@ -350,8 +399,11 @@ def make_sft_train_step(
             t2i_labs = labs_parts[0]
             block_only = jnp.full_like(t2i_labs, -100).at[:, -(n + 1):-1].set(
                 t2i_labs[:, -(n + 1):-1])
-            ids_p, t2i_labs_p, att_p, pos_p = pack(parts[0], block_only,
-                                                   masks[0])
+            ids_p, t2i_labs_p, att_p, pos_p = pack(
+                parts[0], block_only, masks[0],
+                meta_builder=(lambda ip: M.t2i_attn_meta(
+                    ip, tcfg.pad_id, tcfg.soi_id, tcfg.eoi_id))
+                if use_meta else None)
             embeds.append(unigen.embed_tokens(params, ids_p))
             atts.append(att_p)
             poss.append(pos_p)
@@ -360,8 +412,10 @@ def make_sft_train_step(
             # a segment's first label is never a real next-token target (the
             # preceding position is another segment's tail or padding)
             lm_labs = labs_parts[-1].at[:, 0].set(-100)
-            ids_p, lm_labs_p, att_p, pos_p = pack(parts[-1], lm_labs,
-                                                  masks[-1])
+            ids_p, lm_labs_p, att_p, pos_p = pack(
+                parts[-1], lm_labs, masks[-1],
+                meta_builder=(lambda ip: M.lm_attn_meta(ip, tcfg.pad_id))
+                if use_meta else None)
             embeds.append(unigen.embed_tokens(params, ids_p))
             atts.append(att_p)
             poss.append(pos_p)
@@ -375,7 +429,8 @@ def make_sft_train_step(
             params["llm"], cfg.llm,
             inputs_embeds=jnp.concatenate(
                 [e.astype(mmu_embeds.dtype) for e in embeds], axis=0),
-            mask=jnp.concatenate(atts, axis=0),
+            mask=None if use_meta else jnp.concatenate(atts, axis=0),
+            meta=M.concat_meta(*atts) if use_meta else None,
             positions=jnp.concatenate(poss, axis=0), remat=tcfg.remat)
         w = qwen2.lm_head_weight(params["llm"], cfg.llm)
 

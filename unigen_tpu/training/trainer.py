@@ -174,19 +174,31 @@ class Trainer:
         per_step_samples = (self.tcfg.batch_size_t2i + self.tcfg.batch_size_lm
                             + self.tcfg.batch_size_mmu)
 
+        # one-step-deferred meter updates: `float(metrics[...])` blocks on the
+        # device, so materializing step N's metrics only after step N+1's host
+        # batch is built lets input decode/tokenize overlap device compute (the
+        # synchronous form measured 18% slower with the live tar pipeline —
+        # BENCH.md "PT2 with live input pipeline")
+        pending = None
+
+        def _flush(metrics):
+            for k, m in meters.items():
+                if k in metrics:
+                    m.update(metrics[k])
+
         for flow_batch in combined_flow:
             if self.global_step >= self.tr.max_train_steps:
                 break
             batch = self.build_device_batch(flow_batch)
             data_time.update(time.time() - end)
 
+            if pending is not None:
+                _flush(pending)
             key, sub = jax.random.split(key)
             self.state, metrics = self.step_fn(self.state, self.vq_params, batch, sub)
+            pending = metrics
             self.global_step += 1
 
-            for k, m in meters.items():
-                if k in metrics:
-                    m.update(metrics[k])
             batch_time.update(time.time() - end)
             end = time.time()
 
@@ -222,7 +234,9 @@ class Trainer:
                 key, vk = jax.random.split(key)
                 self._visualize(batch, vk)
 
-        if jax.process_index() == 0:
+        # save_every == 0 disables checkpointing entirely (incl. the final
+        # save) — perf benches and smoke loops opt out of the multi-GB write
+        if self.tr.save_every and jax.process_index() == 0:
             CK.save_checkpoint(self.state, self.tr.output_dir, self.global_step,
                                total_limit=self.tr.checkpoints_total_limit,
                                unwrapped_params=self._export_params())
