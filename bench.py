@@ -550,7 +550,8 @@ def bench_serve(slots: int = 32, n_requests: int = 96, prompt_len: int = 600,
                              buckets=(bucket,), chunk=chunk,
                              quantized_cache=quant_kv, seed=seed,
                              speculate_k=speculate_k,
-                             decode_params=decode_params)
+                             decode_params=decode_params,
+                             precompile=[("ids", bucket)])
 
     # warmup/compile: one tiny pass through both programs (admit + decode)
     with _Watchdog(1800):

@@ -158,6 +158,48 @@ def test_engine_batched_admission_exact(model):
         assert g == _reference_greedy(cfg, params, p, 6)
 
 
+@pytest.mark.parametrize("spec_k", [0, 2])
+def test_engine_precompile_is_noop(model, spec_k):
+    """``precompile=`` dispatches every admission-group variant (all-padding
+    rows, scattered with mode="drop") and every chunk length on the fresh
+    engine before serving starts — outputs must be identical to an engine
+    without it, for both the ids and embeds signatures."""
+    cfg, params = model
+    prompts = _prompts(cfg, [3, 5, 7, 4, 20, 6, 21, 8], seed=23)
+
+    def run(pre):
+        with ServingEngine(params, cfg, slots=4, max_len=64, buckets=(16, 32),
+                           chunk=(2, 4, 8), speculate_k=spec_k,
+                           precompile=pre) as eng:
+            futs = [eng.submit(p, max_new_tokens=6) for p in prompts]
+            return [f.result(timeout=180) for f in futs]
+
+    plain = run(())
+    pre = run([("ids", 16), ("ids", 32)])
+    assert pre == plain
+    for p, g in zip(prompts, plain):
+        assert g == _reference_greedy(cfg, params, p, 6)
+
+    # embeds signature: precompiled engine still reproduces the reference
+    rng = np.random.default_rng(3)
+    ids = jnp.asarray(rng.integers(3, 100, size=(1, 12)), jnp.int32)
+    emb = U.embed_tokens(params, ids)
+    pos = np.arange(12)
+    keep = pos < 9
+    mask = ((pos[:, None] >= pos[None, :])[None, None]
+            & keep[None, None, None, :] & keep[None, None, :, None])
+    ref = mmu_generate(params, cfg, jax.random.key(0), input_ids=ids,
+                       attention_mask=jnp.asarray(mask),
+                       prompt_len=jnp.asarray([9]), max_new_tokens=7,
+                       temperature=0.0)
+    with ServingEngine(params, cfg, slots=2, max_len=32, buckets=(12,),
+                       chunk=4, speculate_k=spec_k,
+                       precompile=[("emb", 12, cfg.llm.hidden_size)]) as eng:
+        got = eng.submit_embeds(np.asarray(emb), mask, 9,
+                                max_new_tokens=7).result(120)
+    assert got == np.asarray(ref)[0].tolist()
+
+
 def test_engine_chunk_boundary_finish_and_readmission(model):
     """Pipelined-scheduler edge: budgets exactly at chunk boundaries, with a
     deep backlog forcing every slot to be freed and re-admitted while the

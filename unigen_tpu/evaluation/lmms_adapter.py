@@ -258,7 +258,12 @@ class UniGenLmmsAdapter:
                                chunk=self.serving_chunk, top_k=top_k,
                                quantized_cache=self.serving_quantized_cache,
                                speculate_k=self.serving_speculate_k,
-                               seed=self.seed) as eng:
+                               seed=self.seed,
+                               # every admission-group size compiles up front:
+                               # a mid-run variant compile stalls the whole
+                               # scheduler (engine._precompile)
+                               precompile=[("emb", b, pipe.cfg.llm.hidden_size)
+                                           for b in buckets]) as eng:
                 futs: Dict[int, Any] = {}
                 shape_groups: Dict[tuple, List[int]] = {}
                 for i in idxs:

@@ -596,7 +596,8 @@ class ServingEngine:
                  quantized_cache: bool = False, pad_id: int = 0, seed: int = 0,
                  speculate_k: int = 0,
                  prefix_ids: Optional[Sequence[int]] = None,
-                 decode_params=None, admit_cap: Optional[int] = None):
+                 decode_params=None, admit_cap: Optional[int] = None,
+                 precompile: Sequence[Tuple] = ()):
         if max(buckets) > max_len:
             raise ValueError(f"bucket {max(buckets)} exceeds max_len {max_len}")
         self.params = params
@@ -670,9 +671,89 @@ class ServingEngine:
         self._queue: "queue.Queue[Optional[_Request]]" = queue.Queue()
         self._pending: List[_Request] = []
         self._closing = False
+        # compile the loop's program variants before it starts serving —
+        # the scheduler thread owns cache/state once it runs
+        self._precompile(precompile)
         self._thread = threading.Thread(target=self._loop, daemon=True,
                                         name="unigen-serving")
         self._thread.start()
+
+    def _precompile(self, sigs: Sequence[Tuple]) -> None:
+        """Compile every program the serving loop can hit, BEFORE it starts.
+
+        Admission compiles one program per (signature, padded-group-size),
+        and a late compile stalls the scheduler for seconds mid-serve: the
+        r5 lmms bs=8 run spent 11 of its 13.6 s measured wall in exactly
+        these compiles — slots freed faster than the vision tower refilled
+        the pending queue, forming group sizes (1/2/4) the full-wave warmup
+        never dispatched. A fresh engine can dispatch every variant as a
+        NO-OP instead: the padding-row discipline (target slot index ==
+        ``self.slots``; every install scatters with ``mode="drop"``) means
+        an all-padding admission touches no slot row, and an all-inactive
+        decode chunk advances no row index and writes only cache positions
+        a later admission fully re-prefills.
+
+        ``sigs``: iterable of ``("ids", bucket_len)`` and/or
+        ``("emb", bucket_len, embed_dim)`` — the shapes ``submit`` /
+        ``submit_embeds`` will produce (bucketed prompt lengths). Empty
+        (the default) skips precompilation entirely.
+        """
+        if not sigs:
+            return
+        sizes, k = [], 1
+        while True:
+            sizes.append(k)
+            if k >= self._admit_cap:
+                break
+            k *= 2
+        # embeds admissions arrive in the model's activation dtype
+        # (pipeline._mmu_vit_inputs casts the splice to embed_tokens' output)
+        emb_dt = embed_tokens(self.params, jnp.zeros((1, 1), jnp.int32)).dtype
+        for sig in sigs:
+            ln = int(sig[1])
+            for kp in sizes:
+                drop = jnp.full((kp,), self.slots, jnp.int32)
+                plen = jnp.full((kp,), ln, jnp.int32)
+                zf = jnp.zeros((kp,), jnp.float32)
+                zi = jnp.zeros((kp,), jnp.int32)
+                one = jnp.ones((kp,), jnp.int32)
+                neg = jnp.full((kp,), -1, jnp.int32)
+                if sig[0] == "ids":
+                    ids = jnp.zeros((kp, ln), jnp.int32)
+                    if self._prefix is not None:
+                        self._cache, self._state = _admit_ids_prefix(
+                            self.params, self._cache, self._state, drop,
+                            self._prefix, ids, plen, zf, zi, one, neg,
+                            cfg=self.cfg, top_k=self.top_k)
+                    else:
+                        self._cache, self._state = _admit_ids(
+                            self.params, self._cache, self._state, drop, ids,
+                            plen, zf, zi, one, neg, cfg=self.cfg,
+                            top_k=self.top_k)
+                elif sig[0] == "emb":
+                    emb = jnp.zeros((kp, ln, int(sig[2])), emb_dt)
+                    msk = jnp.ones((kp, 1, ln, ln), bool)
+                    self._cache, self._state = _admit_embeds(
+                        self.params, self._cache, self._state, drop, emb,
+                        msk, plen, zf, zi, one, neg, cfg=self.cfg,
+                        top_k=self.top_k)
+                else:
+                    raise ValueError(f"unknown precompile signature {sig!r}")
+                if self.speculate_k > 0:
+                    row_len = ln + (self.prefix_len if sig[0] == "ids" else 0)
+                    self._ctx = _ctx_install(
+                        self._ctx, drop, jnp.zeros((kp, row_len), jnp.int32))
+        for steps in self.chunks:
+            if self.speculate_k > 0:
+                (self._cache, self._state, self._ctx, _toks,
+                 _counts) = _spec_decode_chunk(
+                    self.decode_params, self._cache, self._state, self._ctx,
+                    jnp.asarray(self._ctx_start), cfg=self.cfg, steps=steps,
+                    k=self.speculate_k, top_k=self.top_k)
+            else:
+                self._cache, self._state, _toks = _decode_chunk(
+                    self.decode_params, self._cache, self._state,
+                    cfg=self.cfg, steps=steps, top_k=self.top_k)
 
     # -- submission ----------------------------------------------------------
 
