@@ -1447,6 +1447,7 @@ def bench_train_live(steps: int = 24, tiny: bool = False):
     input pipeline's cost. Reference counterpart: the CombinedLoader step,
     training/train.py:451-562."""
     import jax
+    import jax.numpy as jnp
 
     if tiny:
         jax.config.update("jax_platforms", "cpu")
