@@ -72,6 +72,24 @@ def test_trainer_runs_saves_and_resumes(tmp_path):
     assert int(state2.step) == 5
 
 
+def test_trainer_throughput_is_window_averaged(tmp_path):
+    """The timing meters must reset at every log window: the first window
+    contains the step compile, and without the reset every later window's
+    samples_per_sec is cumulative-since-start (the r5 live-input bench logged
+    a clean 0.8 s/step window as 63 s/step). Window 1 always holds the
+    compile, so a true window average makes later batch_time far smaller."""
+    trainer = _build(tmp_path, max_steps=6)
+    trainer.tr.log_every = 2
+    trainer.train(_flows(2, 8, 10))
+    with open(os.path.join(tmp_path, "metrics.jsonl")) as f:
+        logs = [json.loads(l) for l in f if "batch_time" in l]
+    assert len(logs) >= 3
+    # compile lives in window 1; windows 2+ must not inherit its average
+    assert logs[-1]["batch_time"] < logs[0]["batch_time"] / 2
+    assert logs[-1]["samples_per_sec_per_device"] > \
+        2 * logs[0]["samples_per_sec_per_device"]
+
+
 def test_trainer_ema_tracks_and_survives_resume(tmp_path):
     """With ema_decay>0 the in-step EMA advances with training, survives a
     checkpoint resume exactly, and is what the portable export contains

@@ -216,7 +216,12 @@ class Trainer:
                 self.metrics.log(logs, self.global_step)
                 logger.info(f"step {self.global_step}: loss={logs['loss']:.4f} "
                             f"({logs['samples_per_sec_per_device']:.2f} samples/s/dev)")
-                for m in meters.values():
+                # reset the TIMING meters with the loss meters: without this,
+                # samples_per_sec is cumulative-since-start, so the first
+                # window's compile time depresses every later window's
+                # reported throughput (caught by the r5 live-input bench:
+                # a clean 0.8 s/step window logged as 63 s/step)
+                for m in (*meters.values(), batch_time, data_time):
                     m.reset()
 
             if self.tr.save_every and self.global_step % self.tr.save_every == 0:
