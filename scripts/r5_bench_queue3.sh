@@ -1,10 +1,12 @@
 #!/bin/bash
-# Round-5 measurement queue, phase 3: slot-count lever for the serving
-# engine (decode batch = slots, and the VQA table keeps climbing past 16)
-# and the engine's own per-step trace.
+# Round-5 queue, phase 3: waits for BOTH the phase-2 benches and the full
+# test suite (launched in parallel with the device-bound profile stages; it
+# must not overlap the host-sensitive serving benches below), then runs the
+# slot-count lever and the engine's own per-step trace.
 set -u
 cd /root/repo
-while ! grep -q "PHASE2 DONE" /tmp/r5_queue.log 2>/dev/null; do sleep 30; done
+while ! grep -q "PHASE2 DONE" /tmp/r5_queue.log 2>/dev/null \
+   || ! grep -q "suite done" /tmp/r5_queue.log 2>/dev/null; do sleep 30; done
 run() {
   name=$1; shift
   echo "=== $name: $* ($(date -u +%H:%M:%S)) ===" | tee -a /tmp/r5_queue.log

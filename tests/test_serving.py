@@ -177,6 +177,10 @@ def test_engine_precompile_is_noop(model, spec_k):
     plain = run(())
     pre = run([("ids", 16), ("ids", 32)])
     assert pre == plain
+    # second engine with identical program signatures: the process-level memo
+    # skips the no-op dispatches (they cost real device time), outputs unchanged
+    pre2 = run([("ids", 16), ("ids", 32)])
+    assert pre2 == plain
     for p, g in zip(prompts, plain):
         assert g == _reference_greedy(cfg, params, p, 6)
 

@@ -58,6 +58,11 @@ Array = jax.Array
 # per-call admit/harvest timing to stderr (perf forensics only)
 _DEBUG = os.environ.get("UNIGEN_ENGINE_DEBUG", "") == "1"
 
+# process-level memo of already-precompiled engine program signatures
+# (ServingEngine._precompile) — the no-op warmup dispatches execute real
+# device work, needed once per (program-signature, process), not per engine
+_PRECOMPILED_KEYS: set = set()
+
 
 class SlotState(NamedTuple):
     """Device-resident per-slot decode state ([slots]-shaped leaves).
@@ -697,9 +702,27 @@ class ServingEngine:
         ``("emb", bucket_len, embed_dim)`` — the shapes ``submit`` /
         ``submit_embeds`` will produce (bucketed prompt lengths). Empty
         (the default) skips precompilation entirely.
+
+        Memoized per process: the no-op dispatches EXECUTE (full-compute
+        prefills + decode chunks, ~1-2 s of device time at flagship shapes —
+        execution is what forces the relay's server-side compile+load), and
+        a second engine with identical program signatures reuses the compiled
+        programs anyway. Without the memo, every engine construction re-runs
+        the no-ops: the r5 lmms re-measure lost ~2 s per measured run to
+        exactly this (843 vs 1,464 tok/s — the bench constructs its engine
+        inside the timed window).
         """
         if not sigs:
             return
+        leaves = (jax.tree_util.tree_leaves(self.params)
+                  + jax.tree_util.tree_leaves(self.decode_params))
+        key = (self.cfg, self.slots, self.max_len, self.chunks, self.top_k,
+               self.speculate_k, self._cache.quantized, self.prefix_len,
+               tuple(tuple(s) for s in sigs), self._admit_cap,
+               tuple((x.shape, str(x.dtype)) for x in leaves))
+        if key in _PRECOMPILED_KEYS:
+            return
+        _PRECOMPILED_KEYS.add(key)
         sizes, k = [], 1
         while True:
             sizes.append(k)
