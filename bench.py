@@ -831,7 +831,8 @@ def bench_profile(stage: str = "sampler", trace_root: str = "/tmp/unigen_traces"
         # the ServingEngine's OWN decode-chunk program (per-row cache index +
         # SlotState device stop) at serving shapes — vs the 'vqa' stage's
         # static uniform-index decode, this isolates what continuous batching
-        # pays per step (r5: engine ~2x the static per-step cost at batch 32)
+        # pays per step (r5 measured: 5.29 vs 4.20 ms/step at 32 slots; the
+        # whole premium is the per-row KV write — BENCH.md engine trace)
         from unigen_tpu.models import unigen, qwen2
         from unigen_tpu.ops.quantization import quantize_unigen_params
         from unigen_tpu.serving.engine import (_decode_chunk, init_slot_state,
